@@ -1,0 +1,142 @@
+"""Data pipeline: tokenizer semantics, windowing, batch contracts."""
+import numpy as np
+import pytest
+
+from vqcpcb_tpu.data.corpora import SyntheticChoraleCorpus
+from vqcpcb_tpu.data.dataloaders import (
+    BachCPCDataloaderGenerator,
+    BachDataloaderGenerator,
+)
+from vqcpcb_tpu.data.dataset import ChoraleBeatsDataset
+from vqcpcb_tpu.data.tokenizer import (
+    NeutralEvent,
+    NeutralScore,
+    extract_with_padding,
+    part_to_ticks,
+    score_to_ticks,
+    ticks_to_neutral_events,
+)
+from vqcpcb_tpu.data.vocab import (
+    END_SYMBOL,
+    PAD_SYMBOL,
+    SLUR_SYMBOL,
+    START_SYMBOL,
+    Vocabulary,
+    midi_of_plain_name,
+)
+
+
+def small_vocab():
+    note_sets = [{f"p{m}" for m in range(lo, hi + 1)}
+                 for lo, hi in [(60, 70), (55, 65), (50, 60), (40, 50)]]
+    return Vocabulary.from_note_sets(note_sets, midi_of_plain_name)
+
+
+def test_part_to_ticks_slur_encoding():
+    vocab = small_vocab()
+    n2i = vocab.note2index_dicts[0]
+    events = [
+        NeutralEvent(0.0, "p60", 60, True),    # held 1 beat = 4 ticks
+        NeutralEvent(1.0, "p62", 62, True),    # held 0.5 beats = 2 ticks
+        NeutralEvent(1.5, "rest", None, False),
+    ]
+    ticks = part_to_ticks(events, n2i, (60, 70), 4, 0.0, 2.0)
+    slur = n2i[SLUR_SYMBOL]
+    want = [n2i["p60"], slur, slur, slur, n2i["p62"], slur, n2i["rest"], slur]
+    np.testing.assert_array_equal(ticks, want)
+
+
+def test_part_to_ticks_out_of_range():
+    vocab = small_vocab()
+    n2i = vocab.note2index_dicts[0]
+    events = [NeutralEvent(0.0, "p90", 90, True)]
+    ticks = part_to_ticks(events, n2i, (60, 70), 4, 0.0, 1.0)
+    assert ticks[0] == n2i["OOR"]
+
+
+def test_extract_with_padding():
+    vocab = small_vocab()
+    n2i = vocab.note2index_dicts[0]
+    score = np.tile(np.arange(8)[None], (4, 1))
+    out = extract_with_padding(score, -3, 4, vocab)
+    assert out.shape == (4, 7)
+    assert out[0, 0] == n2i[PAD_SYMBOL] and out[0, 1] == n2i[PAD_SYMBOL]
+    assert out[0, 2] == n2i[START_SYMBOL]
+    np.testing.assert_array_equal(out[0, 3:], [0, 1, 2, 3])
+    out2 = extract_with_padding(score, 5, 11, vocab)
+    np.testing.assert_array_equal(out2[0, :3], [5, 6, 7])
+    assert out2[0, 3] == n2i[END_SYMBOL]
+    assert out2[0, 4] == n2i[PAD_SYMBOL] and out2[0, 5] == n2i[PAD_SYMBOL]
+
+
+def test_round_trip_tokenize_detokenize():
+    corpus = SyntheticChoraleCorpus(num_chorales=2, seed=1)
+    vocab = corpus.build_vocabulary()
+    score = next(iter(corpus))
+    ticks = score_to_ticks(score, vocab, 4)
+    events = ticks_to_neutral_events(ticks, vocab, 4)
+    # onsets and names of articulated notes survive the round trip
+    for voice_idx, part in enumerate(score.parts):
+        got = {(n, o) for n, o, d in events[voice_idx]}
+        for e in part:
+            if e.offset < ticks.shape[1] / 4:
+                assert (e.name, e.offset) in got
+
+
+def test_dataset_windows_and_splits(tmp_path):
+    corpus = SyntheticChoraleCorpus(num_chorales=4, min_beats=12,
+                                    max_beats=16, seed=0)
+    ds = ChoraleBeatsDataset(corpus, sequences_size=4, cache_root=str(tmp_path))
+    w = ds.windows
+    assert w.ndim == 3 and w.shape[1] == 4 and w.shape[2] == 16
+    assert len(w) > 50  # windows x transpositions
+    # cache round trip
+    ds2 = ChoraleBeatsDataset(corpus, sequences_size=4, cache_root=str(tmp_path))
+    np.testing.assert_array_equal(ds2.windows, w)
+    tr, va, te = ds.splits()
+    assert len(tr) + len(va) + len(te) == len(w)
+    assert len(tr) > len(va) >= len(te)
+
+
+def test_decoder_dataloader_contract(tmp_path):
+    corpus = SyntheticChoraleCorpus(num_chorales=3, min_beats=12,
+                                    max_beats=16, seed=0)
+    gen = BachDataloaderGenerator(sequences_size=4, corpus=corpus,
+                                  cache_root=str(tmp_path))
+    train, val, test = gen.dataloaders(batch_size=8)
+    batch = next(train)
+    assert batch["x"].shape == (8, 16, 4)
+    assert batch["x"].dtype == np.int32
+
+
+@pytest.mark.parametrize("method", ["random", "same_sequence"])
+def test_cpc_dataloader_contract(tmp_path, method):
+    corpus = SyntheticChoraleCorpus(num_chorales=3, min_beats=14,
+                                    max_beats=18, seed=0)
+    gen = BachCPCDataloaderGenerator(
+        num_tokens_per_block=16,
+        num_blocks_left=3,
+        num_blocks_right=3,
+        negative_sampling_method=method,
+        num_negative_samples=5,
+        corpus=corpus,
+        cache_root=str(tmp_path))
+    train, val, test = gen.dataloaders(batch_size=4)
+    batch = next(train)
+    assert batch["x_left"].shape == (4, 12, 4)     # 3 blocks * 4 ticks
+    assert batch["x_right"].shape == (4, 12, 4)
+    num_neg = 5 if method == "random" else 5       # same_seq: 3+3-1 = 5
+    assert batch["negative_samples"].shape == (4, num_neg, 3, 4, 4)
+    assert batch["negative_samples_back"].shape == (4, num_neg, 3, 4, 4)
+    if method == "same_sequence":
+        # negatives for step k are the other blocks of the same excerpt:
+        # block content must come from x_left/x_right of the same batch item
+        blocks = np.concatenate([
+            batch["x_left"].reshape(4, 3, 4, 4),
+            batch["x_right"].reshape(4, 3, 4, 4)], axis=1)
+        neg = batch["negative_samples"]
+        for b in range(4):
+            pool = {blocks[b, i].tobytes() for i in range(6)}
+            for n in range(num_neg):
+                for k in range(3):
+                    assert neg[b, n, k].tobytes() in pool

@@ -1,0 +1,171 @@
+"""Multi-head attention with an additive relative-bias hook.
+
+Reference semantics: VQCPCB/transformer/multihead_attention_custom.py —
+QKV from a single packed projection, q scaled by head_dim**-0.5 *before* the
+bias hook (so the learned bias sees the scaled queries, reference :247,331),
+additive attn_mask, softmax, dropout, V, output projection; per-head
+attention weights are returned for visualisation.
+
+TPU-first: batch-first layout throughout, one packed (E, 3E) projection so
+XLA emits a single MXU matmul for QKV, attention as two batched einsums. For
+the tiny sequence lengths of this model family (<=384) XLA's fusion of
+mask+bias+softmax into the matmul epilogue is already near roofline; a Pallas
+flash-style kernel can be slotted behind the same interface for longer
+sequences.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from vqcpcb_tpu.ops.relative_attention import (
+    subsampled_relative_bias,
+    subsampled_relative_bias_row,
+)
+
+RELATIVE_BIAS_TYPES = ("relative_attention", "relative_attention_target_source")
+
+
+class MultiheadAttention(nn.Module):
+    """Attention with optional subsampled relative bias.
+
+    attention_bias_type: None | 'relative_attention' |
+      'relative_attention_target_source' (both relative types map to the same
+      subsampled bias, reference :92-101).
+    """
+    embed_dim: int
+    num_heads: int
+    attention_bias_type: Optional[str] = None
+    num_channels_k: int = 1
+    num_events_k: int = 1
+    num_channels_q: int = 1
+    num_events_q: int = 1
+    dropout: float = 0.0
+
+    def setup(self):
+        assert self.embed_dim % self.num_heads == 0
+        head_dim = self.embed_dim // self.num_heads
+        self.in_proj = nn.DenseGeneral(
+            features=3 * self.embed_dim,
+            kernel_init=nn.initializers.xavier_uniform(),
+            bias_init=nn.initializers.zeros,
+            name="in_proj")
+        self.out_proj = nn.DenseGeneral(
+            features=self.embed_dim,
+            kernel_init=nn.initializers.xavier_uniform(),
+            bias_init=nn.initializers.zeros,
+            name="out_proj")
+        if self.attention_bias_type is None:
+            self.e1 = None
+            self.e2 = None
+        elif self.attention_bias_type in RELATIVE_BIAS_TYPES:
+            seq_len_src = self.num_channels_k * self.num_events_k
+            seq_len_tgt = self.num_channels_q * self.num_events_q
+            assert seq_len_tgt % seq_len_src == 0
+            self.e1 = self.param(
+                "rel_e1", nn.initializers.normal(1.0),
+                (self.num_heads, seq_len_src, head_dim))
+            self.e2 = self.param(
+                "rel_e2", nn.initializers.normal(1.0),
+                (self.num_heads, seq_len_src, head_dim))
+        else:
+            raise NotImplementedError(
+                f"Not a valid type of attention bias: {self.attention_bias_type}")
+        self.attn_dropout = nn.Dropout(rate=self.dropout)
+
+    # --- projection helpers (shared by full forward and the KV-cached step) --
+
+    def _split_heads(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, l, _ = x.shape
+        return x.reshape(b, l, self.num_heads, -1).transpose(0, 2, 1, 3)
+
+    def project_q(self, query: jnp.ndarray) -> jnp.ndarray:
+        """(B, L, E) -> scaled q (B, H, L, hd)."""
+        head_dim = self.embed_dim // self.num_heads
+        qkv = self.in_proj(query)
+        q = qkv[..., :self.embed_dim] * (head_dim ** -0.5)
+        return self._split_heads(q)
+
+    def project_kv(self, key: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """(B, S, E) -> k, v each (B, H, S, hd)."""
+        kv = self.in_proj(key)[..., self.embed_dim:]
+        k, v = jnp.split(kv, 2, axis=-1)
+        return self._split_heads(k), self._split_heads(v)
+
+    # --- full forward ---------------------------------------------------------
+
+    def __call__(self,
+                 query: jnp.ndarray,
+                 key: jnp.ndarray,
+                 value: jnp.ndarray,
+                 attn_mask: Optional[jnp.ndarray] = None,
+                 training: bool = False,
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Args:
+          query: (B, L_tgt, E); key/value: (B, L_src, E). key is used for both
+            k and v projections when they are the same array (the reference
+            only ever calls with key is value).
+          attn_mask: additive (L_tgt, L_src) float mask or None.
+        Returns:
+          (output (B, L_tgt, E), attn_weights (B, H, L_tgt, L_src))
+        """
+        del value  # reference always has key == value
+        q = self.project_q(query)
+        k, v = self.project_kv(key)
+
+        scores = jnp.einsum("bhtd,bhsd->bhts", q, k,
+                            preferred_element_type=jnp.float32)
+        if attn_mask is not None:
+            scores = scores + attn_mask[None, None]
+        if self.e1 is not None:
+            scores = scores + subsampled_relative_bias(q, self.e1, self.e2)
+
+        weights = jax.nn.softmax(scores, axis=-1)
+        weights = self.attn_dropout(weights, deterministic=not training)
+        out = jnp.einsum("bhts,bhsd->bhtd", weights.astype(v.dtype), v,
+                         preferred_element_type=jnp.float32)
+        b, h, t, d = out.shape
+        out = out.transpose(0, 2, 1, 3).reshape(b, t, h * d).astype(query.dtype)
+        out = self.out_proj(out)
+        return out, weights
+
+    # --- single-position step (KV-cached sampling) ----------------------------
+
+    def step(self,
+             query_t: jnp.ndarray,
+             k_cache: jnp.ndarray,
+             v_cache: jnp.ndarray,
+             t: jnp.ndarray,
+             seq_len_tgt: int,
+             key_len_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        """Attend from one query position over cached keys/values.
+
+        Args:
+          query_t: (B, 1, E) input at target position t.
+          k_cache/v_cache: (B, H, S, hd) — full-length caches; positions > t
+            are masked out by `key_len_mask` (or a causal mask derived from t).
+          t: scalar int32 target position (for the relative bias row).
+          key_len_mask: optional (S,) bool of valid key positions; defaults to
+            positions <= t (causal self-attention).
+        Returns:
+          (B, 1, E) attention output.
+        """
+        q = self.project_q(query_t)[:, :, 0, :]            # (B, H, hd)
+        scores = jnp.einsum("bhd,bhsd->bhs", q, k_cache,
+                            preferred_element_type=jnp.float32)
+        if self.e1 is not None:
+            scores = scores + subsampled_relative_bias_row(
+                q, self.e1, self.e2, t, seq_len_tgt)
+        s = k_cache.shape[2]
+        if key_len_mask is None:
+            key_len_mask = jnp.arange(s) <= t
+        scores = jnp.where(key_len_mask[None, None], scores, -jnp.inf)
+        weights = jax.nn.softmax(scores, axis=-1)
+        out = jnp.einsum("bhs,bhsd->bhd", weights.astype(v_cache.dtype), v_cache,
+                         preferred_element_type=jnp.float32)
+        b, h, d = out.shape
+        out = out.reshape(b, 1, h * d).astype(query_t.dtype)
+        return self.out_proj(out)

@@ -1,0 +1,75 @@
+"""GRU as a lax.scan with fused gates.
+
+The reference uses torch.nn.GRU in three places: the per-block bidirectional
+downscaler (VQCPCB/downscalers/lstm_downscaler.py), the CPC context net
+(VQCPCB/vqcpc_helper.py:54-76) and nothing else. These GRUs see short
+sequences (block size ~16, context ~6), so throughput comes from batching,
+not from the recurrence: we hoist the input projection x@W_i^T for the whole
+sequence into one large MXU matmul and keep only the small h@W_h^T matmul
+inside the scan. Gate order and update equations match torch.nn.GRU:
+
+    r = sigmoid(x W_ir + b_ir + h W_hr + b_hr)
+    z = sigmoid(x W_iz + b_iz + h W_hz + b_hz)
+    n = tanh  (x W_in + b_in + r * (h W_hn + b_hn))
+    h' = (1 - z) * n + z * h
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+class GRU(nn.Module):
+    """Multi-layer unidirectional GRU, batch-first.
+
+    Matches torch.nn.GRU(batch_first=True, bidirectional=False): dropout is
+    applied between layers (not after the last one) during training.
+    """
+    hidden_size: int
+    num_layers: int = 1
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        """x: (batch, time, input_dim) -> (batch, time, hidden_size)."""
+        h_seq = x
+        for layer in range(self.num_layers):
+            h_seq = self._layer(h_seq, name=f"layer_{layer}")
+            if self.dropout > 0.0 and layer < self.num_layers - 1:
+                h_seq = nn.Dropout(rate=self.dropout)(h_seq, deterministic=deterministic)
+        return h_seq
+
+    def _layer(self, x: jnp.ndarray, name: str) -> jnp.ndarray:
+        batch, time, input_dim = x.shape
+        h = self.hidden_size
+        scale = 1.0 / jnp.sqrt(h)
+
+        def uniform_init(key, shape, dtype=jnp.float32):
+            return jax.random.uniform(key, shape, dtype, -scale, scale)
+
+        w_i = self.param(f"{name}_w_i", uniform_init, (input_dim, 3 * h))
+        w_h = self.param(f"{name}_w_h", uniform_init, (h, 3 * h))
+        b_i = self.param(f"{name}_b_i", uniform_init, (3 * h,))
+        b_h = self.param(f"{name}_b_h", uniform_init, (3 * h,))
+
+        # One big MXU matmul over the whole sequence.
+        x_proj = jnp.einsum("bti,ih->bth", x.astype(self.dtype), w_i.astype(self.dtype)) + b_i
+        x_proj = x_proj.astype(jnp.float32)
+
+        def step(h_prev, x_t):
+            h_proj = (h_prev @ w_h.astype(jnp.float32)) + b_h
+            xr, xz, xn = jnp.split(x_t, 3, axis=-1)
+            hr, hz, hn = jnp.split(h_proj, 3, axis=-1)
+            r = jax.nn.sigmoid(xr + hr)
+            z = jax.nn.sigmoid(xz + hz)
+            n = jnp.tanh(xn + r * hn)
+            h_new = (1.0 - z) * n + z * h_prev
+            return h_new, h_new
+
+        h0 = jnp.zeros((batch, h), dtype=jnp.float32)
+        _, out = jax.lax.scan(step, h0, jnp.swapaxes(x_proj, 0, 1))
+        return jnp.swapaxes(out, 0, 1)

@@ -1,0 +1,112 @@
+"""Loss functions (reference: VQCPCB/utils.py:24-49,131-159 and
+VQCPCB/vqcpc_helper.py:5-51).
+
+All functions are pure, fixed-shape, and accumulate in float32 so they jit
+cleanly and reduce deterministically on TPU.
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+
+def nce_loss(positive: jnp.ndarray, negatives: jnp.ndarray) -> jnp.ndarray:
+    """InfoNCE: -(positive - logsumexp([negatives, positive])), summed over
+    prediction steps k, averaged over the batch
+    (reference: VQCPCB/vqcpc_helper.py:5-29).
+
+    Args:
+      positive:  (batch, k)
+      negatives: (batch, k, num_negatives)
+    """
+    positive = positive.astype(jnp.float32)
+    negatives = negatives.astype(jnp.float32)
+    stacked = jnp.concatenate([negatives, positive[..., None]], axis=2)
+    normalizer = jax.nn.logsumexp(stacked, axis=2)
+    loss_batch = positive - normalizer
+    return -loss_batch.sum(axis=1).mean(axis=0)
+
+
+def quantization_loss_aggregate(loss_left: jnp.ndarray,
+                                loss_negative: jnp.ndarray,
+                                loss_right: jnp.ndarray,
+                                loss_negative_back: Optional[jnp.ndarray] = None
+                                ) -> jnp.ndarray:
+    """Aggregate per-position commitment losses across the CPC streams
+    (reference: VQCPCB/vqcpc_helper.py:32-51).
+
+    Shapes: loss_left (B, blocks_l), loss_right (B, blocks_r),
+    loss_negative (B, num_neg, k, blocks_neg).
+    """
+    parts = [
+        loss_left.sum(axis=1),
+        loss_right.sum(axis=1),
+        loss_negative.sum(axis=(1, 2, 3)),
+    ]
+    if loss_negative_back is not None:
+        parts.append(loss_negative_back.sum(axis=(1, 2, 3)))
+    return jnp.concatenate(parts, axis=0).mean()
+
+
+def categorical_crossentropy(value: Sequence[jnp.ndarray],
+                             target: jnp.ndarray,
+                             mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Per-channel cross entropy with a position mask
+    (reference: VQCPCB/utils.py:24-49).
+
+    The reference selects masked elements then averages the per-element sum
+    over channels; we compute the same value with fixed shapes:
+    sum_channels( sum_{masked} CE ) / num_masked_elements_per_channel.
+
+    Args:
+      value: list over channels of logits (batch, num_events, vocab_c)
+      target: (batch, num_events, num_channels) int
+      mask: (batch, num_events, num_channels) {0,1}; default all ones
+    Returns:
+      scalar: mean over masked positions of the channel-summed CE.
+    """
+    if mask is None:
+        mask = jnp.ones_like(target)
+    mask = mask.astype(jnp.float32)
+    total = 0.0
+    denom = None
+    for c, logits in enumerate(value):
+        logits = logits.astype(jnp.float32)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        tgt_c = target[..., c]
+        nll = -jnp.take_along_axis(logp, tgt_c[..., None], axis=-1)[..., 0]
+        m = mask[..., c]
+        total = total + (nll * m).sum()
+        d = m.sum()
+        denom = d if denom is None else denom
+    return total / jnp.maximum(denom, 1.0)
+
+
+def distilled_categorical_crossentropy(value: Sequence[jnp.ndarray],
+                                       target: Sequence[jnp.ndarray],
+                                       mask: jnp.ndarray) -> jnp.ndarray:
+    """Soft-target cross entropy sum_masked_events softmax(target)·log_softmax(value),
+    summed over channels and masked events, averaged over the batch
+    (reference: VQCPCB/utils.py:131-159; note the reference swaps p/q so the
+    *target* logits provide the soft distribution).
+
+    Args:
+      value: list over channels of student logits (batch, num_events, vocab_c)
+      target: list over channels of teacher logits (batch, num_events, vocab_c)
+      mask: (batch, num_events, num_channels) — an event is included when its
+        batch-mean mask exceeds 0.5 (the reference masks whole events).
+    Returns:
+      scalar.
+    """
+    total = 0.0
+    for c, (v_logits, t_logits) in enumerate(zip(value, target)):
+        v_logits = v_logits.astype(jnp.float32)
+        t_logits = t_logits.astype(jnp.float32)
+        p = jax.nn.softmax(t_logits, axis=-1)
+        logq = jax.nn.log_softmax(v_logits, axis=-1)
+        ce = -(p * logq).sum(axis=-1)                       # (batch, num_events)
+        event_mask = (mask[..., c].astype(jnp.float32).mean(axis=0) > 0.5)  # (num_events,)
+        total = total + (ce * event_mask[None, :]).sum(axis=1)
+    return total.mean()

@@ -1,0 +1,156 @@
+"""Product vector quantizer with straight-through estimator.
+
+Reference semantics: VQCPCB/quantizer/vector_quantizer.py —
+  * product codebook: num_codebooks tables of (codebook_size, dim/num_codebooks),
+    init randn*4 (reference :44-48)
+  * optional BatchNorm over inputs (reference :54-55,90-97)
+  * data-dependent codebook init from the first batch (reference :57-70) —
+    here an explicit host-driven step (`initialize_codebooks`) instead of a
+    mutate-on-first-forward side effect, so the forward stays pure and jittable
+  * nearest neighbour by squared L2 per sub-codebook (reference :104-112)
+  * optional 5% label corruption during training (reference :119-132)
+  * commitment loss q + cost*e, squared-L2 or L2-norm variants (reference :72-83)
+  * straight-through estimator (reference :148)
+
+TPU-first formulation: distances use the expanded form
+|x|^2 - 2 x.E^T + |E|^2 so the dominant cost is one batched MXU matmul across
+all sub-codebooks; the lookup is a gather on the argmin indices (gradients to
+the codebook flow through a one-hot matmul, identical math to the reference).
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+def initialize_codebooks(rng: jax.Array,
+                         flat_input: jnp.ndarray,
+                         num_codebooks: int,
+                         codebook_size: int) -> jnp.ndarray:
+    """Data-dependent codebook init: for each sub-codebook, a fresh random
+    permutation of the (batch-normalised) inputs provides the first
+    `codebook_size` rows of the matching feature slice
+    (reference: VQCPCB/quantizer/vector_quantizer.py:57-70).
+
+    Args:
+      flat_input: (N, codebook_dim) with N >= codebook_size.
+    Returns:
+      (num_codebooks, codebook_size, codebook_dim // num_codebooks)
+    """
+    n, codebook_dim = flat_input.shape
+    assert n >= codebook_size, (
+        "not enough elements in a batch to initialise the clusters; "
+        "increase the batch dimension")
+    sub_dim = codebook_dim // num_codebooks
+    tables = []
+    for k in range(num_codebooks):
+        rng, sub = jax.random.split(rng)
+        perm = jax.random.permutation(sub, n)
+        rows = flat_input[perm[:codebook_size]]
+        tables.append(rows[:, k * sub_dim:(k + 1) * sub_dim])
+    return jnp.stack(tables, axis=0)
+
+
+class ProductVectorQuantizer(nn.Module):
+    codebook_size: int
+    codebook_dim: int
+    commitment_cost: float
+    num_codebooks: int
+    use_batch_norm: bool = False
+    squared_l2_norm: bool = True
+    corruption_rate: float = 0.05
+
+    def setup(self):
+        assert self.codebook_dim % self.num_codebooks == 0
+        sub_dim = self.codebook_dim // self.num_codebooks
+        self.codebooks = self.param(
+            "codebooks",
+            lambda key, shape: jax.random.normal(key, shape) * 4.0,
+            (self.num_codebooks, self.codebook_size, sub_dim))
+        if self.use_batch_norm:
+            self.batch_norm = nn.BatchNorm(momentum=0.9, epsilon=1e-5, axis=-1)
+
+    def __call__(self,
+                 inputs: jnp.ndarray,
+                 training: bool = False,
+                 corrupt_labels: bool = False,
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """Args:
+          inputs: (..., codebook_dim)
+        Returns:
+          quantized_sg: (..., codebook_dim)  — straight-through quantized
+          encoding_indices: (..., num_codebooks) int32
+          loss: (...,) per-position commitment loss
+        """
+        input_shape = inputs.shape
+        flat_orig = inputs.reshape(-1, self.codebook_dim)
+        # BatchNorm affects only the nearest-neighbour search; the commitment
+        # loss and the straight-through path use the *unnormalised* inputs
+        # (reference :90-99 vs :146-148).
+        if self.use_batch_norm:
+            flat = self.batch_norm(flat_orig, use_running_average=not training)
+        else:
+            flat = flat_orig
+
+        n = flat.shape[0]
+        sub_dim = self.codebook_dim // self.num_codebooks
+        x = flat.reshape(n, self.num_codebooks, sub_dim)
+        e = self.codebooks                                    # (K, S, d)
+
+        # Squared L2 distances via the expanded form (single MXU matmul).
+        x2 = jnp.sum(x.astype(jnp.float32) ** 2, axis=-1, keepdims=True)   # (n, K, 1)
+        e2 = jnp.sum(e.astype(jnp.float32) ** 2, axis=-1)                   # (K, S)
+        xe = jnp.einsum("nkd,ksd->nks", x, e,
+                        preferred_element_type=jnp.float32)                 # (n, K, S)
+        distances = x2 - 2.0 * xe + e2[None]                                # (n, K, S)
+        indices = jnp.argmin(distances, axis=-1)                            # (n, K)
+
+        if training and corrupt_labels:
+            rng_idx = self.make_rng("corrupt")
+            rng_mask = self.make_rng("corrupt_mask")
+            random_indices = jax.random.randint(
+                rng_idx, indices.shape, 0, self.codebook_size, dtype=indices.dtype)
+            keep = jax.random.uniform(rng_mask, indices.shape) > self.corruption_rate
+            indices = jnp.where(keep, indices, random_indices)
+
+        # Lookup through a one-hot matmul so codebook gradients match the
+        # reference (reference :134-143).
+        one_hot = jax.nn.one_hot(indices, self.codebook_size, dtype=inputs.dtype)  # (n, K, S)
+        quantized = jnp.einsum("nks,ksd->nkd", one_hot, e,
+                               preferred_element_type=jnp.float32)
+        quantized = quantized.reshape(n, self.codebook_dim).astype(inputs.dtype)
+
+        flat_in = flat_orig
+        if self.squared_l2_norm:
+            e_latent = jnp.sum((jax.lax.stop_gradient(quantized) - flat_in) ** 2, axis=-1)
+            q_latent = jnp.sum((quantized - jax.lax.stop_gradient(flat_in)) ** 2, axis=-1)
+        else:
+            epsilon = 1e-5
+            e_latent = jnp.linalg.norm(
+                (jax.lax.stop_gradient(quantized) - flat_in) + epsilon, axis=-1)
+            q_latent = jnp.linalg.norm(
+                (quantized - jax.lax.stop_gradient(flat_in)) + epsilon, axis=-1)
+        loss = q_latent + self.commitment_cost * e_latent
+
+        quantized_sg = flat_in + jax.lax.stop_gradient(quantized - flat_in)
+
+        quantized_sg = quantized_sg.reshape(input_shape)
+        loss = loss.reshape(input_shape[:-1])
+        encoding_indices = indices.reshape(input_shape[:-1] + (self.num_codebooks,))
+        return quantized_sg, encoding_indices, loss
+
+
+class NoQuantization(nn.Module):
+    """Pass-through variant (reference: vector_quantizer.py:15-24)."""
+    codebook_dim: int
+    # mirror ProductVectorQuantizer's static attrs used downstream
+    codebook_size: int = 0
+    num_codebooks: int = 1
+
+    @nn.compact
+    def __call__(self, inputs, training: bool = False, corrupt_labels: bool = False):
+        loss = jnp.zeros(inputs.shape[:-1], dtype=jnp.float32)
+        return inputs, None, loss

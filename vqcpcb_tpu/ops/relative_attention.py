@@ -1,0 +1,105 @@
+"""Subsampled relative attention bias (Music-Transformer style, generalised to
+source/target lengths differing by an integer ratio).
+
+Reference semantics: VQCPCB/transformer/subsampled_relative_attention.py
+(learned causal `e1` and anticausal `e2` embeddings combined via a
+pad-and-reshape "skewing" trick plus triangular masks).
+
+TPU-first design: the reference's skew is a row-preserving permutation of the
+source axis, so we compute the bias with a *static gather* instead of
+replaying the pad/reshape choreography:
+
+    bias[b,h,t,s] = valid1[t,s] * <q[b,h,t], e1[h, src-1 - t//r + s]>
+                  + valid2[t,s] * <q[b,h,t], e2[h, s - t//r]>
+
+with r = tgt//src, valid1 = (s <= t//r), valid2 = (s > t//r). The index maps
+are trace-time constants, XLA fuses the gather into the einsum epilogue, and
+the same maps drive per-row bias lookups inside the KV-cached sampler. A
+property test (tests/test_relative_attention.py) checks this gather against a
+direct replay of the reference's skewing algorithm.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def relative_bias_index_maps(seq_len_src: int, seq_len_tgt: int
+                             ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Static (tgt, src) index/validity maps for the causal (e1) and
+    anticausal (e2) halves of the bias."""
+    assert seq_len_src <= seq_len_tgt
+    assert seq_len_tgt % seq_len_src == 0
+    ratio = seq_len_tgt // seq_len_src
+    t = np.arange(seq_len_tgt)[:, None] // ratio        # block index of each target pos
+    s = np.arange(seq_len_src)[None, :]
+    valid1 = s <= t
+    valid2 = s > t
+    idx1 = np.where(valid1, (seq_len_src - 1) - t + s, 0)
+    idx2 = np.where(valid2, s - t, 0)
+    return idx1.astype(np.int32), valid1, idx2.astype(np.int32), valid2
+
+
+def subsampled_relative_bias(q: jnp.ndarray,
+                             e1: jnp.ndarray,
+                             e2: jnp.ndarray) -> jnp.ndarray:
+    """Compute the additive attention bias.
+
+    Args:
+      q: (batch, heads, tgt, head_dim) — already scaled by head_dim**-0.5
+         (the reference applies the bias to the scaled q,
+         VQCPCB/transformer/multihead_attention_custom.py:247,331-333).
+      e1, e2: (heads, src, head_dim) learned embeddings (the reference stores
+         them flattened heads-major as (heads*src, head_dim),
+         subsampled_relative_attention.py:20-21).
+
+    Returns:
+      bias: (batch, heads, tgt, src)
+    """
+    num_heads, seq_len_src, head_dim = e1.shape
+    seq_len_tgt = q.shape[2]
+    idx1, valid1, idx2, valid2 = relative_bias_index_maps(seq_len_src, seq_len_tgt)
+
+    r1 = jnp.einsum("bhtd,hmd->bhtm", q, e1)
+    r2 = jnp.einsum("bhtd,hmd->bhtm", q, e2)
+
+    idx1 = jnp.asarray(idx1)[None, None]
+    idx2 = jnp.asarray(idx2)[None, None]
+    bias1 = jnp.take_along_axis(r1, jnp.broadcast_to(idx1, r1.shape[:2] + idx1.shape[2:]), axis=-1)
+    bias2 = jnp.take_along_axis(r2, jnp.broadcast_to(idx2, r2.shape[:2] + idx2.shape[2:]), axis=-1)
+    bias = jnp.where(jnp.asarray(valid1)[None, None], bias1, 0.0) + \
+        jnp.where(jnp.asarray(valid2)[None, None], bias2, 0.0)
+    return bias
+
+
+def subsampled_relative_bias_row(q_t: jnp.ndarray,
+                                 e1: jnp.ndarray,
+                                 e2: jnp.ndarray,
+                                 t: jnp.ndarray,
+                                 seq_len_tgt: int) -> jnp.ndarray:
+    """Bias row for a single target position `t` (traced scalar) — used by the
+    KV-cached incremental sampler where the full (tgt, src) matrix is never
+    materialised.
+
+    Args:
+      q_t: (batch, heads, head_dim) scaled query at position t.
+      e1, e2: (heads, src, head_dim).
+      t: scalar int32 target position.
+    Returns:
+      (batch, heads, src) bias row.
+    """
+    num_heads, seq_len_src, head_dim = e1.shape
+    ratio = seq_len_tgt // seq_len_src
+    block = t // ratio
+    s = jnp.arange(seq_len_src)
+    valid1 = s <= block
+    valid2 = s > block
+    idx1 = jnp.where(valid1, (seq_len_src - 1) - block + s, 0)
+    idx2 = jnp.where(valid2, s - block, 0)
+    r1 = jnp.einsum("bhd,hmd->bhm", q_t, e1)
+    r2 = jnp.einsum("bhd,hmd->bhm", q_t, e2)
+    bias1 = jnp.take_along_axis(r1, jnp.broadcast_to(idx1[None, None], r1.shape[:2] + (seq_len_src,)), axis=-1)
+    bias2 = jnp.take_along_axis(r2, jnp.broadcast_to(idx2[None, None], r2.shape[:2] + (seq_len_src,)), axis=-1)
+    return jnp.where(valid1[None, None], bias1, 0.0) + jnp.where(valid2[None, None], bias2, 0.0)

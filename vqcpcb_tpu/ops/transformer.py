@@ -1,0 +1,252 @@
+"""Transformer stacks threading attention maps out of every layer.
+
+Reference semantics: VQCPCB/transformer/transformer_custom.py — post-LN
+residual layers (attn -> add -> LN -> FFN -> add -> LN), encoder/decoder
+stacks that collect per-layer attention maps, and the "aligned" decoder layer
+whose diagonal cross-attention is a position-aligned MLP broadcast over the
+subsampling ratio (reference :389-492).
+
+TPU-first: batch-first tensors, independent per-layer parameters (the
+reference deep-copies layers), relu/gelu FFN as plain Dense pairs that XLA
+maps straight onto the MXU.
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from vqcpcb_tpu.ops.attention import MultiheadAttention
+
+
+def _activation(name: str):
+    if name == "relu":
+        return nn.relu
+    if name == "gelu":
+        return nn.gelu
+    raise RuntimeError(f"activation should be relu/gelu, not {name}")
+
+
+class FeedForward(nn.Module):
+    d_model: int
+    dim_feedforward: int
+    dropout: float
+    activation: str = "relu"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, training: bool = False) -> jnp.ndarray:
+        h = nn.Dense(self.dim_feedforward, name="linear1")(x)
+        h = _activation(self.activation)(h)
+        h = nn.Dropout(rate=self.dropout)(h, deterministic=not training)
+        return nn.Dense(self.d_model, name="linear2")(h)
+
+
+class TransformerEncoderLayer(nn.Module):
+    """(reference: transformer_custom.py:220-291)"""
+    d_model: int
+    n_head: int
+    attention_bias_type: Optional[str]
+    num_channels: int
+    num_events: int
+    dim_feedforward: int = 2048
+    dropout: float = 0.1
+    activation: str = "relu"
+
+    @nn.compact
+    def __call__(self, src, src_mask=None, training: bool = False):
+        src2, a_self = MultiheadAttention(
+            embed_dim=self.d_model,
+            num_heads=self.n_head,
+            attention_bias_type=self.attention_bias_type,
+            num_channels_k=self.num_channels,
+            num_events_k=self.num_events,
+            num_channels_q=self.num_channels,
+            num_events_q=self.num_events,
+            dropout=self.dropout,
+            name="self_attn",
+        )(src, src, src, attn_mask=src_mask, training=training)
+        src = src + nn.Dropout(rate=self.dropout)(src2, deterministic=not training)
+        src = nn.LayerNorm(name="norm1")(src)
+        src2 = FeedForward(self.d_model, self.dim_feedforward, self.dropout,
+                           self.activation, name="ff")(src, training=training)
+        src = src + nn.Dropout(rate=self.dropout)(src2, deterministic=not training)
+        src = nn.LayerNorm(name="norm2")(src)
+        return src, {"a_self_encoder": a_self}
+
+
+class TransformerEncoder(nn.Module):
+    """Stack with independent layer parameters
+    (reference: transformer_custom.py:121-163)."""
+    num_layers: int
+    d_model: int
+    n_head: int
+    attention_bias_type: Optional[str]
+    num_channels: int
+    num_events: int
+    dim_feedforward: int = 2048
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, src, mask=None, training: bool = False,
+                 collect_attentions: bool = False):
+        attentions: List[dict] = []
+        out = src
+        for i in range(self.num_layers):
+            out, attn = TransformerEncoderLayer(
+                d_model=self.d_model,
+                n_head=self.n_head,
+                attention_bias_type=self.attention_bias_type,
+                num_channels=self.num_channels,
+                num_events=self.num_events,
+                dim_feedforward=self.dim_feedforward,
+                dropout=self.dropout,
+                name=f"layer_{i}",
+            )(out, src_mask=mask, training=training)
+            if collect_attentions:
+                attentions.append(attn)
+        return out, attentions
+
+
+class TransformerDecoderLayer(nn.Module):
+    """Self + cross attention decoder layer
+    (reference: transformer_custom.py:294-386)."""
+    d_model: int
+    n_head: int
+    attention_bias_type_self: Optional[str]
+    attention_bias_type_cross: Optional[str]
+    num_channels_encoder: int
+    num_events_encoder: int
+    num_channels_decoder: int
+    num_events_decoder: int
+    dim_feedforward: int = 2048
+    dropout: float = 0.1
+    activation: str = "relu"
+
+    def setup(self):
+        self.self_attn = MultiheadAttention(
+            embed_dim=self.d_model, num_heads=self.n_head,
+            attention_bias_type=self.attention_bias_type_self,
+            num_channels_k=self.num_channels_decoder,
+            num_events_k=self.num_events_decoder,
+            num_channels_q=self.num_channels_decoder,
+            num_events_q=self.num_events_decoder,
+            dropout=self.dropout)
+        self.multihead_attn = MultiheadAttention(
+            embed_dim=self.d_model, num_heads=self.n_head,
+            attention_bias_type=self.attention_bias_type_cross,
+            num_channels_k=self.num_channels_encoder,
+            num_events_k=self.num_events_encoder,
+            num_channels_q=self.num_channels_decoder,
+            num_events_q=self.num_events_decoder,
+            dropout=self.dropout)
+        self.ff = FeedForward(self.d_model, self.dim_feedforward, self.dropout,
+                              self.activation)
+        self.norm1 = nn.LayerNorm()
+        self.norm2 = nn.LayerNorm()
+        self.norm3 = nn.LayerNorm()
+        self.drop1 = nn.Dropout(rate=self.dropout)
+        self.drop2 = nn.Dropout(rate=self.dropout)
+        self.drop3 = nn.Dropout(rate=self.dropout)
+
+    def __call__(self, tgt, memory, tgt_mask=None, memory_mask=None,
+                 training: bool = False):
+        tgt2, a_self = self.self_attn(tgt, tgt, tgt, attn_mask=tgt_mask,
+                                      training=training)
+        tgt = self.norm1(tgt + self.drop1(tgt2, deterministic=not training))
+        tgt2, a_cross = self.multihead_attn(tgt, memory, memory,
+                                            attn_mask=memory_mask,
+                                            training=training)
+        tgt = self.norm2(tgt + self.drop2(tgt2, deterministic=not training))
+        tgt2 = self.ff(tgt, training=training)
+        tgt = self.norm3(tgt + self.drop3(tgt2, deterministic=not training))
+        return tgt, {"a_self_decoder": a_self, "a_cross": a_cross}
+
+
+class TransformerAlignedDecoderLayer(nn.Module):
+    """"Diagonal" decoder layer: cross-attention replaced by a
+    position-aligned MLP (channels_enc*E -> 2E -> E*channels_dec) whose output
+    is broadcast over the subsampling ratio
+    (reference: transformer_custom.py:389-492)."""
+    d_model: int
+    n_head: int
+    attention_bias_type_self: Optional[str]
+    num_channels_encoder: int
+    num_events_encoder: int
+    num_channels_decoder: int
+    num_events_decoder: int
+    dim_feedforward: int = 2048
+    dropout: float = 0.1
+    activation: str = "relu"
+
+    def setup(self):
+        self.self_attn = MultiheadAttention(
+            embed_dim=self.d_model, num_heads=self.n_head,
+            attention_bias_type=self.attention_bias_type_self,
+            num_channels_k=self.num_channels_decoder,
+            num_events_k=self.num_events_decoder,
+            num_channels_q=self.num_channels_decoder,
+            num_events_q=self.num_events_decoder,
+            dropout=self.dropout)
+        self.cross_mlp_1 = nn.Dense(self.d_model * 2)
+        self.cross_mlp_2 = nn.Dense(self.d_model * self.num_channels_decoder)
+        self.ff = FeedForward(self.d_model, self.dim_feedforward, self.dropout,
+                              self.activation)
+        self.norm1 = nn.LayerNorm()
+        self.norm2 = nn.LayerNorm()
+        self.norm3 = nn.LayerNorm()
+        self.drop1 = nn.Dropout(rate=self.dropout)
+        self.drop2 = nn.Dropout(rate=self.dropout)
+        self.drop3 = nn.Dropout(rate=self.dropout)
+
+    def cross_branch(self, memory: jnp.ndarray, tgt_len: int) -> jnp.ndarray:
+        """Aligned-MLP branch: depends only on memory, so the sampler hoists
+        it out of the decoding scan entirely.
+
+        memory: (B, S, E) with S = num_events_memory * num_channels_encoder.
+        Returns (B, tgt_len, E).
+        """
+        b, s, e = memory.shape
+        c_enc = self.num_channels_encoder
+        c_dec = self.num_channels_decoder
+        num_events_memory = s // c_enc
+        mem = memory.reshape(b, num_events_memory, c_enc * e)
+        h = self.cross_mlp_2(nn.elu(self.cross_mlp_1(mem)))
+        h = h.reshape(b, num_events_memory, e, c_dec).transpose(0, 1, 3, 2)
+        # broadcast each memory event over the subsampling ratio
+        ratio = (tgt_len // c_dec) // num_events_memory
+        h = jnp.broadcast_to(h[:, :, None],
+                             (b, num_events_memory, ratio, c_dec, e))
+        return h.reshape(b, tgt_len, e)
+
+    def __call__(self, tgt, memory, tgt_mask=None, memory_mask=None,
+                 training: bool = False):
+        tgt2, a_self = self.self_attn(tgt, tgt, tgt, attn_mask=tgt_mask,
+                                      training=training)
+        tgt = self.norm1(tgt + self.drop1(tgt2, deterministic=not training))
+        tgt2 = self.cross_branch(memory, tgt.shape[1])
+        tgt = self.norm2(tgt + self.drop2(tgt2, deterministic=not training))
+        tgt2 = self.ff(tgt, training=training)
+        tgt = self.norm3(tgt + self.drop3(tgt2, deterministic=not training))
+        return tgt, {"a_self_decoder": a_self, "a_cross": None}
+
+
+class TransformerDecoder(nn.Module):
+    """(reference: transformer_custom.py:166-217)"""
+    num_layers: int
+    layer_kwargs: dict
+    aligned: bool = False
+
+    @nn.compact
+    def __call__(self, tgt, memory, tgt_mask=None, memory_mask=None,
+                 training: bool = False, collect_attentions: bool = False):
+        attentions: List[dict] = []
+        out = tgt
+        layer_cls = TransformerAlignedDecoderLayer if self.aligned else TransformerDecoderLayer
+        for i in range(self.num_layers):
+            out, attn = layer_cls(name=f"layer_{i}", **self.layer_kwargs)(
+                out, memory, tgt_mask=tgt_mask, memory_mask=memory_mask,
+                training=training)
+            if collect_attentions:
+                attentions.append(attn)
+        return out, attentions
