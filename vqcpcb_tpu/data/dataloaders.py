@@ -189,13 +189,19 @@ class BachCPCDataloaderGenerator(DataloaderGenerator):
 
         def gen(pos, neg, shuffle):
             rng = self._rng if shuffle else None
+            # small corpora may hold fewer windows than one negative batch:
+            # tile so every epoch yields at least one batch
+            neg_pool = neg
+            if 0 < len(neg_pool) < neg_bs:
+                reps = -(-neg_bs // len(neg_pool))
+                neg_pool = np.tile(neg_pool, (reps, 1, 1))
 
             def neg_stream():
                 # negatives loop forever over reshuffled epochs so the zip is
                 # limited by the positive stream, as with the reference's
                 # independently-sized DataLoaders
                 while True:
-                    yield from batch_iterator(neg, neg_bs, rng)
+                    yield from batch_iterator(neg_pool, neg_bs, rng)
 
             neg_iter = neg_stream()
             neg_back_iter = neg_stream()

@@ -21,6 +21,7 @@ from __future__ import annotations
 from typing import Dict, List, Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from vqcpcb_tpu.models.data_processor import DataProcessor
@@ -229,3 +230,167 @@ class Decoder(nn.Module):
         m = ATTENTION_NAME_MAPPINGS
         return (f"Decoder-{self.transformer_type}-{m[self.encoder_attention_type]}-"
                 f"{m[self.cross_attention_type]}")
+
+    # =========================================================================
+    # KV-cached autoregressive sampling (replaces the reference's
+    # full-forward-per-token loop, decoder.py:764-820, with a lax.scan whose
+    # per-step cost is one row of attention per layer)
+    # =========================================================================
+
+    def _embed_input_at(self, prev_token: jnp.ndarray, t: jnp.ndarray
+                        ) -> jnp.ndarray:
+        """Transformer input at flat position t (SOS handled by caller):
+        the embedding of the *previous* token with position t-1's positional
+        features, matching the reference's SOS shift of the fully embedded
+        sequence (decoder.py:447-481).
+
+        prev_token: (B,) int token at flat position t-1; t: traced scalar.
+        Returns (B, d_model)."""
+        c = self.num_channels_decoder
+        prev_pos = t - 1
+        channel_idx = prev_pos % c
+        # embed with every channel table, select the right one (C is tiny;
+        # out-of-vocab gathers in unselected tables are clamped by XLA)
+        all_embs = jnp.stack([
+            emb(jnp.clip(prev_token, 0, emb.num_embeddings - 1))
+            for emb in self.data_processor.embeddings], axis=0)   # (C, B, emb)
+        token_emb = all_embs[channel_idx]
+        b = prev_token.shape[0]
+        if self.transformer_type == "relative":
+            channel_emb = self.target_channel_embeddings[0, channel_idx]
+            event_in_code = (prev_pos % self.total_upscaling) // c
+            event_emb = self.target_events_positioning_embeddings[0, event_in_code]
+            feats = jnp.concatenate([
+                token_emb,
+                jnp.tile(channel_emb[None], (b, 1)),
+                jnp.tile(event_emb[None], (b, 1))], axis=-1)
+        else:
+            pos_emb = self.target_positional_embeddings[0, prev_pos]
+            feats = jnp.concatenate(
+                [token_emb, jnp.tile(pos_emb[None], (b, 1))], axis=-1)
+        return self.linear_target(feats)
+
+    def _head_logits_at(self, x: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+        """Per-channel output head at flat position t, padded to the max vocab
+        (invalid slots at -inf). x: (B, d_model) -> (B, vocab_max)."""
+        vmax = max(self.data_processor.num_tokens_per_channel)
+        logits_all = []
+        for c, head in enumerate(self.pre_softmaxes):
+            lg = head(x)
+            pad = vmax - lg.shape[-1]
+            if pad:
+                lg = jnp.concatenate(
+                    [lg, jnp.full(lg.shape[:-1] + (pad,), -jnp.inf,
+                                  dtype=lg.dtype)], axis=-1)
+            logits_all.append(lg)
+        return jnp.stack(logits_all, axis=0)[t % self.num_channels_decoder]
+
+    def prefill(self, source: jnp.ndarray, target: jnp.ndarray):
+        """One full forward filling all caches.
+
+        Returns (caches, crosses): caches = per-layer (k, v) of shape
+        (B, H, T, hd); crosses = per-layer cross context — (k_mem, v_mem) for
+        attention layers, the (B, T, E) aligned branch for diagonal layers."""
+        memory = self.encode_memory(source, training=False)
+        tgt_seq = self.shift_with_sos(self.embed_target(target))
+        t_len = tgt_seq.shape[1]
+        s_len = memory.shape[1]
+        tgt_mask = causal_mask(t_len)
+        mem_mask = self.cross_mask(s_len, t_len)
+        out = tgt_seq
+        caches, crosses = [], []
+        for layer in self.decoder_transformer.layers:
+            out, kv, cross = layer.capture(out, memory, tgt_mask, mem_mask)
+            caches.append(kv)
+            crosses.append(cross)
+        return caches, crosses
+
+    def _cross_key_mask(self, t: jnp.ndarray, s_len: int):
+        ratio = self.num_tokens_target // s_len
+        s = jnp.arange(s_len)
+        if self.cross_attention_type == "anticausal":
+            return s >= t // ratio
+        return jnp.ones((s_len,), dtype=bool)
+
+    def _decode_one(self, x_t, caches, crosses, t):
+        """Run all decoder layers for one position; caches already hold this
+        position's K/V for each layer as we go. Returns (B, 1, E) and the
+        updated caches."""
+        aligned = self.cross_attention_type == "diagonal"
+        s_len = self.num_events_encoder * self.num_channels_encoder
+        cross_mask = None if aligned else self._cross_key_mask(t, s_len)
+        new_caches = []
+        out = x_t
+        for layer, (k_cache, v_cache), cross in zip(
+                self.decoder_transformer.layers, caches, crosses):
+            k_t, v_t = layer.self_attn.project_kv(out)      # (B, H, 1, hd)
+            k_cache = jax.lax.dynamic_update_slice_in_dim(k_cache, k_t, t, axis=2)
+            v_cache = jax.lax.dynamic_update_slice_in_dim(v_cache, v_t, t, axis=2)
+            if aligned:
+                cross_t = jax.lax.dynamic_slice_in_dim(cross, t, 1, axis=1)
+                out = layer.step(out, k_cache, v_cache, cross_t, t,
+                                 self.num_tokens_target)
+            else:
+                k_mem, v_mem = cross
+                out = layer.step(out, k_cache, v_cache, k_mem, v_mem, t,
+                                 self.num_tokens_target, cross_mask)
+            new_caches.append((k_cache, v_cache))
+        return out, new_caches
+
+    def sample_range(self,
+                     source: jnp.ndarray,
+                     tokens_init: jnp.ndarray,
+                     start: jnp.ndarray,
+                     num_steps: int,
+                     rng: jax.Array,
+                     temperature: float = 1.0,
+                     top_k: int = 0,
+                     top_p: float = 0.0,
+                     forbidden_indices=None) -> jnp.ndarray:
+        """Sample flat positions [start, start+num_steps) autoregressively.
+
+        source: (B, S) codes (or (B, S, z)); tokens_init: (B, E, C) int32 with
+        fixed context outside the sampled range; start: traced int32;
+        num_steps: static int. forbidden_indices: optional (C, n) int array of
+        token ids excluded per channel (meta symbols, decoder.py:624-629).
+        Returns the updated (B, E, C) tokens."""
+        from vqcpcb_tpu.ops.sampling import sample_categorical
+
+        b, num_events, c = tokens_init.shape
+        tokens_flat = tokens_init.reshape(b, num_events * c)
+        caches, crosses = self.prefill(source, tokens_init)
+
+        vmax = max(self.data_processor.num_tokens_per_channel)
+        vocab_sizes = jnp.asarray(self.data_processor.num_tokens_per_channel)
+        if forbidden_indices is not None:
+            forbidden_indices = jnp.asarray(forbidden_indices)
+
+        def step(carry, i):
+            tokens_flat, caches, rng = carry
+            t = start + i
+            prev_token = jax.lax.dynamic_index_in_dim(
+                tokens_flat, jnp.maximum(t - 1, 0), axis=1, keepdims=False)
+            x_t = jnp.where(
+                (t > 0),
+                self._embed_input_at(prev_token, t),
+                jnp.tile(self.sos[0], (b, 1)))[:, None, :]   # (B, 1, d)
+            out, caches = self._decode_one(x_t, caches, crosses, t)
+            logits = self._head_logits_at(out[:, 0], t)       # (B, vmax)
+            # mask padded vocab slots
+            valid = jnp.arange(vmax)[None] < vocab_sizes[t % c]
+            logits = jnp.where(valid, logits, -jnp.inf)
+            if forbidden_indices is not None:
+                forb = forbidden_indices[t % c]               # (n,)
+                hit = (jnp.arange(vmax)[None] == forb[:, None]).any(0)
+                logits = jnp.where(hit[None], -jnp.inf, logits)
+            rng, sub = jax.random.split(rng)
+            new_token = sample_categorical(
+                sub, logits, temperature=temperature, top_k=top_k, top_p=top_p)
+            tokens_flat = jax.lax.dynamic_update_slice_in_dim(
+                tokens_flat, new_token[:, None].astype(tokens_flat.dtype),
+                t, axis=1)
+            return (tokens_flat, caches, rng), None
+
+        (tokens_flat, _, _), _ = jax.lax.scan(
+            step, (tokens_flat, caches, rng), jnp.arange(num_steps))
+        return tokens_flat.reshape(b, num_events, c)

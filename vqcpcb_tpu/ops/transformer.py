@@ -162,6 +162,31 @@ class TransformerDecoderLayer(nn.Module):
         tgt = self.norm3(tgt + self.drop3(tgt2, deterministic=not training))
         return tgt, {"a_self_decoder": a_self, "a_cross": a_cross}
 
+    # ---- KV-cached sampling support -----------------------------------------
+
+    def capture(self, tgt, memory, tgt_mask=None, memory_mask=None):
+        """Full forward that also returns this layer's self-attention K/V for
+        cache prefill and the projected memory K/V for incremental cross
+        attention."""
+        k_self, v_self = self.self_attn.project_kv(tgt)
+        k_mem, v_mem = self.multihead_attn.project_kv(memory)
+        out, _ = self.__call__(tgt, memory, tgt_mask=tgt_mask,
+                               memory_mask=memory_mask, training=False)
+        return out, (k_self, v_self), (k_mem, v_mem)
+
+    def step(self, x_t, k_cache, v_cache, k_mem, v_mem, t, seq_len_tgt,
+             cross_key_mask):
+        """One-position decode. x_t: (B, 1, E); k/v_cache: (B, H, T, hd)
+        already containing THIS position's projections; k/v_mem: (B, H, S, hd);
+        cross_key_mask: (S,) bool of memory positions visible from t."""
+        tgt2 = self.self_attn.step(x_t, k_cache, v_cache, t, seq_len_tgt)
+        x = self.norm1(x_t + tgt2)
+        tgt2 = self.multihead_attn.step(
+            x, k_mem, v_mem, t, seq_len_tgt, key_len_mask=cross_key_mask)
+        x = self.norm2(x + tgt2)
+        tgt2 = self.ff(x, training=False)
+        return self.norm3(x + tgt2)
+
 
 class TransformerAlignedDecoderLayer(nn.Module):
     """"Diagonal" decoder layer: cross-attention replaced by a
@@ -230,23 +255,50 @@ class TransformerAlignedDecoderLayer(nn.Module):
         tgt = self.norm3(tgt + self.drop3(tgt2, deterministic=not training))
         return tgt, {"a_self_decoder": a_self, "a_cross": None}
 
+    # ---- KV-cached sampling support -----------------------------------------
+
+    def capture(self, tgt, memory, tgt_mask=None, memory_mask=None):
+        """Full forward returning self K/V caches; the aligned cross branch
+        depends only on memory, so it is returned whole and the sampler hoists
+        it out of the decoding scan."""
+        k_self, v_self = self.self_attn.project_kv(tgt)
+        cross = self.cross_branch(memory, tgt.shape[1])     # (B, T, E)
+        out, _ = self.__call__(tgt, memory, tgt_mask=tgt_mask,
+                               memory_mask=memory_mask, training=False)
+        return out, (k_self, v_self), cross
+
+    def step(self, x_t, k_cache, v_cache, cross_t, t, seq_len_tgt,
+             cross_key_mask=None):
+        """cross_t: (B, 1, E) — the precomputed aligned branch at position t."""
+        tgt2 = self.self_attn.step(x_t, k_cache, v_cache, t, seq_len_tgt)
+        x = self.norm1(x_t + tgt2)
+        x = self.norm2(x + cross_t)
+        tgt2 = self.ff(x, training=False)
+        return self.norm3(x + tgt2)
+
 
 class TransformerDecoder(nn.Module):
-    """(reference: transformer_custom.py:166-217)"""
+    """(reference: transformer_custom.py:166-217)
+
+    Layers are built in setup so the sampler can drive their
+    capture/step methods individually for KV-cached decoding."""
     num_layers: int
     layer_kwargs: dict
     aligned: bool = False
 
-    @nn.compact
+    def setup(self):
+        layer_cls = (TransformerAlignedDecoderLayer if self.aligned
+                     else TransformerDecoderLayer)
+        self.layers = [layer_cls(name=f"layer_{i}", **self.layer_kwargs)
+                       for i in range(self.num_layers)]
+
     def __call__(self, tgt, memory, tgt_mask=None, memory_mask=None,
                  training: bool = False, collect_attentions: bool = False):
         attentions: List[dict] = []
         out = tgt
-        layer_cls = TransformerAlignedDecoderLayer if self.aligned else TransformerDecoderLayer
-        for i in range(self.num_layers):
-            out, attn = layer_cls(name=f"layer_{i}", **self.layer_kwargs)(
-                out, memory, tgt_mask=tgt_mask, memory_mask=memory_mask,
-                training=training)
+        for layer in self.layers:
+            out, attn = layer(out, memory, tgt_mask=tgt_mask,
+                              memory_mask=memory_mask, training=training)
             if collect_attentions:
                 attentions.append(attn)
         return out, attentions

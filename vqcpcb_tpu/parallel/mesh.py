@@ -1,0 +1,99 @@
+"""Device mesh construction and batch/parameter sharding helpers.
+
+Design (SURVEY.md §7, scaling-book recipe): pick a mesh, annotate shardings
+with NamedSharding/PartitionSpec, let XLA insert the collectives over ICI.
+The baseline strategy for this model family (<= ~30M params) is pure data
+parallelism — parameters replicated, batch sharded on axis 'data' — with an
+optional 'model' axis sharding the transformer FFN/attention matmuls
+(Megatron-style column/row split) for demonstration and headroom.
+
+Multi-host: call jax.distributed.initialize() before make_mesh(); the mesh
+then spans all processes and the same annotations ride DCN across hosts.
+"""
+from __future__ import annotations
+
+import re
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(num_model: int = 1,
+              devices=None) -> Mesh:
+    """Mesh of shape (data, model) over the available devices; `data` is
+    inferred as num_devices // num_model."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    assert n % num_model == 0, (n, num_model)
+    arr = np.asarray(devices).reshape(n // num_model, num_model)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis over 'data', replicate the rest."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh):
+    """device_put a dict of host arrays with the batch axis sharded."""
+    sharding = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+# ---- tensor-parallel parameter rules ----------------------------------------
+
+# path-regex -> PartitionSpec; first match wins. Megatron split: the FFN and
+# attention QKV expand over 'model' (column parallel), their output
+# projections contract over 'model' (row parallel); XLA inserts the
+# all-reduce on the row-parallel outputs.
+TP_RULES = [
+    (re.compile(r".*linear1/kernel$"), P(None, MODEL_AXIS)),
+    (re.compile(r".*linear2/kernel$"), P(MODEL_AXIS, None)),
+    (re.compile(r".*in_proj/kernel$"), P(None, MODEL_AXIS)),
+    (re.compile(r".*in_proj/bias$"), P(MODEL_AXIS)),
+    (re.compile(r".*linear1/bias$"), P(MODEL_AXIS)),
+    (re.compile(r".*out_proj/kernel$"), P(MODEL_AXIS, None)),
+]
+
+
+def param_spec(path: str, leaf) -> P:
+    for pattern, spec in TP_RULES:
+        if pattern.match(path):
+            # only shard when the dims divide; tiny heads stay replicated
+            return spec
+    return P()
+
+
+def params_shardings(params, mesh: Mesh):
+    """Tree of NamedShardings for a param tree, applying TP rules when the
+    'model' axis is larger than 1 and the dimension divides evenly."""
+    num_model = mesh.shape[MODEL_AXIS]
+
+    def one(path_tuple, leaf):
+        if num_model == 1:
+            return replicated(mesh)
+        path = "/".join(str(getattr(k, "key", k)) for k in path_tuple)
+        spec = param_spec(path, leaf)
+        # check divisibility; fall back to replication
+        for dim, axis_name in zip(leaf.shape, spec):
+            if axis_name == MODEL_AXIS and dim % num_model != 0:
+                return replicated(mesh)
+        if len(spec) > len(leaf.shape):
+            return replicated(mesh)
+        return NamedSharding(mesh, spec)
+
+    return jax.tree_util.tree_map_with_path(one, params)
+
+
+def shard_params(params, mesh: Mesh):
+    shardings = params_shardings(params, mesh)
+    return jax.tree.map(jax.device_put, params, shardings)

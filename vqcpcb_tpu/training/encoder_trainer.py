@@ -1,0 +1,272 @@
+"""VQ-CPC encoder trainer: one jitted train step over the mesh.
+
+Reference semantics: VQCPCB/vqcpc_encoder_trainer.py and the generic loop in
+encoder.py:244-302 — per-epoch fresh dataloaders, train + half-length val
+epoch, save `overfitted` every epoch and `early_stopped` on best
+loss_monitor (= minus mean CPC accuracy), monitors incl. per-k accuracy and
+codebook usage.
+
+TPU-first: the whole batch math (negatives + positives + context + InfoNCE +
+quantization loss + grads + Adam) is a single jitted function; batches are
+host NumPy arrays device_put with a 'data'-axis sharding, params replicated
+(or TP-sharded) on the same mesh, so the identical program runs 1-chip or
+N-chip with XLA inserting the gradient all-reduce.
+"""
+from __future__ import annotations
+
+import functools
+import time
+from itertools import islice
+from typing import Dict, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vqcpcb_tpu.models.cpc import VQCPCModel
+from vqcpcb_tpu.ops.quantizer import ProductVectorQuantizer, initialize_codebooks
+from vqcpcb_tpu.parallel import mesh as mesh_lib
+from vqcpcb_tpu.training import checkpoints
+from vqcpcb_tpu.training.metrics import MetricsWriter
+from vqcpcb_tpu.training.optim import make_optimizer
+from vqcpcb_tpu.training.train_state import TrainState
+from vqcpcb_tpu.utils import dict_pretty_print
+
+
+class VQCPCEncoderTrainer:
+    def __init__(self,
+                 model_dir: str,
+                 dataloader_generator,
+                 model: VQCPCModel,
+                 mesh=None,
+                 seed: int = 0):
+        self.model_dir = model_dir
+        self.dataloader_generator = dataloader_generator
+        self.model = model
+        self.mesh = mesh if mesh is not None else mesh_lib.make_mesh()
+        self.seed = seed
+        self.state: Optional[TrainState] = None
+        self.tx = None
+        self._rng = jax.random.PRNGKey(seed)
+        self._train_step = None
+        self._eval_step = None
+
+    # ---- init ---------------------------------------------------------------
+
+    def init_state(self,
+                   sample_batch: Dict[str, np.ndarray],
+                   lr: float,
+                   schedule_lr: bool = False,
+                   initialize: bool = True) -> TrainState:
+        """Parameter init + data-dependent codebook init from the first batch
+        (the reference initializes from the first tensor reaching the
+        quantizer — the negatives stream, vector_quantizer.py:101-102)."""
+        self._rng, init_rng, cb_rng = jax.random.split(self._rng, 3)
+        batch = {k: jnp.asarray(v) for k, v in sample_batch.items()}
+        variables = self.model.init(
+            {"params": init_rng, "dropout": init_rng,
+             "corrupt": init_rng, "corrupt_mask": init_rng},
+            batch, training=False)
+        params = variables["params"]
+        batch_stats = dict(variables.get("batch_stats", {}))
+
+        quantizer = self.model.encoder.quantizer
+        if initialize and isinstance(quantizer, ProductVectorQuantizer):
+            neg = batch["negative_samples"]
+            b, n, k, ticks, voices = neg.shape
+            flat_tokens = neg.reshape(b * n * k, ticks, voices)
+            z = self.model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                flat_tokens,
+                method=lambda m, x: m.encoder.downscale(x))
+            flat_z = z.reshape(-1, quantizer.codebook_dim)
+            codebooks = initialize_codebooks(
+                cb_rng, flat_z, quantizer.num_codebooks, quantizer.codebook_size)
+            params = dict(params)
+            encoder_params = dict(params["encoder"])
+            quant_params = dict(encoder_params["quantizer"])
+            quant_params["codebooks"] = codebooks
+            encoder_params["quantizer"] = quant_params
+            params["encoder"] = encoder_params
+
+        self.tx = make_optimizer(lr, schedule_lr)
+        opt_state = self.tx.init(params)
+        state = TrainState(params=params, opt_state=opt_state,
+                           batch_stats=batch_stats, step=0)
+        self.state = self._place(state)
+        self._build_steps()
+        return self.state
+
+    def _place(self, state: TrainState) -> TrainState:
+        """Params/opt state follow the TP rules (replicated for model=1),
+        everything on the mesh."""
+        shardings = mesh_lib.params_shardings(state.params, self.mesh)
+        params = jax.tree.map(jax.device_put, state.params, shardings)
+        rep = mesh_lib.replicated(self.mesh)
+        opt_state = jax.tree.map(lambda x: jax.device_put(x, rep), state.opt_state)
+        batch_stats = jax.tree.map(lambda x: jax.device_put(x, rep),
+                                   state.batch_stats)
+        return TrainState(params=params, opt_state=opt_state,
+                          batch_stats=batch_stats, step=state.step)
+
+    # ---- jitted steps --------------------------------------------------------
+
+    def _build_steps(self):
+        model = self.model
+        tx = self.tx
+
+        def forward(params, batch_stats, batch, rng, training, corrupt_labels):
+            variables = {"params": params}
+            mutable = False
+            if batch_stats:
+                variables["batch_stats"] = batch_stats
+                mutable = ["batch_stats"] if training else False
+            rngs = dict(zip(("dropout", "corrupt", "corrupt_mask"),
+                            jax.random.split(rng, 3)))
+            out = model.apply(variables, batch, training=training,
+                              corrupt_labels=corrupt_labels, rngs=rngs,
+                              mutable=mutable)
+            if mutable:
+                (loss, metrics), new_vars = out
+                return loss, (metrics, dict(new_vars.get("batch_stats", {})))
+            loss, metrics = out
+            return loss, (metrics, batch_stats)
+
+        @functools.partial(jax.jit, static_argnames=("corrupt_labels",),
+                           donate_argnums=(0,))
+        def train_step(state: TrainState, batch, rng, corrupt_labels=False):
+            grad_fn = jax.value_and_grad(
+                lambda p: forward(p, state.batch_stats, batch, rng,
+                                  True, corrupt_labels), has_aux=True)
+            (loss, (metrics, new_bs)), grads = grad_fn(state.params)
+            updates, new_opt = tx.update(grads, state.opt_state, state.params)
+            new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+            new_state = TrainState(params=new_params, opt_state=new_opt,
+                                   batch_stats=new_bs, step=state.step + 1)
+            return new_state, metrics
+
+        @jax.jit
+        def eval_step(state: TrainState, batch, rng):
+            _, (metrics, _) = forward(state.params, state.batch_stats, batch,
+                                      rng, False, False)
+            return metrics
+
+        self._train_step = train_step
+        self._eval_step = eval_step
+
+    # ---- epoch loop ----------------------------------------------------------
+
+    def epoch(self,
+              data_loader: Iterator,
+              train: bool,
+              num_batches: Optional[int],
+              corrupt_labels: bool = False) -> Dict:
+        sums: Dict[str, np.ndarray] = {}
+        count = 0
+        tokens = 0
+        t0 = time.perf_counter()
+        for batch_np in islice(data_loader, num_batches):
+            batch = mesh_lib.shard_batch(batch_np, self.mesh)
+            self._rng, step_rng = jax.random.split(self._rng)
+            if train:
+                self.state, metrics = self._train_step(
+                    self.state, batch, step_rng, corrupt_labels=corrupt_labels)
+            else:
+                metrics = self._eval_step(self.state, batch, step_rng)
+            metrics = jax.device_get(metrics)
+            for k, v in metrics.items():
+                sums[k] = sums.get(k, 0) + np.asarray(v, dtype=np.float64)
+            count += 1
+            tokens += int(np.prod(batch_np["x_left"].shape)) \
+                + int(np.prod(batch_np["x_right"].shape)) \
+                + int(np.prod(batch_np["negative_samples"].shape))
+        if count == 0:
+            return {}
+        means = {k: (v / count).tolist() if np.ndim(v) else float(v / count)
+                 for k, v in sums.items()}
+        elapsed = time.perf_counter() - t0
+        means["tokens_per_sec"] = tokens / max(elapsed, 1e-9)
+        acc = means.get("accuracy")
+        if acc is not None:
+            means["loss_monitor"] = -float(np.mean(acc))
+        return means
+
+    # ---- train loop (reference: encoder.py:244-302) --------------------------
+
+    def train_model(self,
+                    batch_size: int,
+                    num_batches: Optional[int],
+                    num_epochs: int,
+                    lr: float,
+                    corrupt_labels: bool = False,
+                    schedule_lr: bool = False,
+                    plot: bool = False,
+                    num_workers: int = 0,
+                    initialize: bool = True,
+                    **kwargs) -> None:
+        writer = MetricsWriter(self.model_dir, plot=plot)
+        best_val = 1e8
+        for epoch_id in range(num_epochs):
+            generator_train, generator_val, _ = \
+                self.dataloader_generator.dataloaders(
+                    batch_size=batch_size, num_workers=num_workers)
+            if self.state is None:
+                generator_train = iter(generator_train)
+                first = next(generator_train)
+                self.init_state(first, lr=lr, schedule_lr=schedule_lr,
+                                initialize=initialize)
+                # train on the init batch too
+                import itertools
+                generator_train = itertools.chain([first], generator_train)
+
+            monitored_train = self.epoch(
+                generator_train, train=True, num_batches=num_batches,
+                corrupt_labels=corrupt_labels)
+            monitored_val = self.epoch(
+                generator_val, train=False,
+                num_batches=num_batches // 2 if num_batches is not None else None,
+                corrupt_labels=corrupt_labels)
+
+            print(f"======= Epoch {epoch_id} =======")
+            print("---Train---")
+            dict_pretty_print(monitored_train, endstr=" " * 5)
+            print()
+            print("---Val---")
+            dict_pretty_print(monitored_val, endstr=" " * 5)
+            print("\n")
+
+            self.save(early_stopped=False)
+            valid_loss = monitored_val.get("loss_monitor", 1e8)
+            if valid_loss < best_val:
+                self.save(early_stopped=True)
+                best_val = valid_loss
+            writer.write(epoch_id, monitored_train, monitored_val)
+
+    # ---- persistence ---------------------------------------------------------
+
+    def save(self, early_stopped: bool) -> None:
+        checkpoints.save_state(self.model_dir, early_stopped, self.state)
+
+    def load(self, early_stopped: bool, lr: float = 1e-4,
+             schedule_lr: bool = False) -> None:
+        if self.state is None:
+            raise RuntimeError(
+                "call init_state (or train on one batch) before load, so the "
+                "state skeleton exists")
+        restored = checkpoints.load_state(self.model_dir, early_stopped,
+                                          target=jax.device_get(self.state))
+        self.state = self._place(
+            TrainState(params=restored.params, opt_state=restored.opt_state,
+                       batch_stats=restored.batch_stats, step=restored.step))
+
+    # ---- inference helpers ---------------------------------------------------
+
+    def encode(self, x: np.ndarray):
+        """x tokens -> (z_quantized, encoding_indices, q_loss), jitted."""
+        variables = {"params": self.state.params}
+        if self.state.batch_stats:
+            variables["batch_stats"] = self.state.batch_stats
+        return jax.jit(
+            lambda v, xx: self.model.apply(
+                v, xx, method=lambda m, inp: m.encoder(inp))
+        )(variables, jnp.asarray(x))

@@ -1,0 +1,48 @@
+"""Metrics/observability: JSONL scalars + optional TensorBoard.
+
+Reference: TensorBoard SummaryWriter per model_dir with scalars per epoch
+(VQCPCB/encoder.py:256-257,304-325). Here every epoch additionally lands in
+{model_dir}/metrics.jsonl so headless runs stay observable, and steps/sec +
+tokens/sec counters are first-class (the BASELINE metric).
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Dict, Optional
+
+
+class MetricsWriter:
+    def __init__(self, model_dir: str, plot: bool = False):
+        self.model_dir = os.path.abspath(model_dir)
+        os.makedirs(self.model_dir, exist_ok=True)
+        self.jsonl_path = os.path.join(self.model_dir, "metrics.jsonl")
+        self._tb = None
+        if plot:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+                self._tb = SummaryWriter(self.model_dir)
+            except Exception:
+                self._tb = None
+
+    def write(self, epoch_id: int, train: Optional[Dict], val: Optional[Dict]):
+        record = {"epoch": epoch_id, "time": time.time()}
+        for split, quantities in (("train", train), ("val", val)):
+            if quantities is None:
+                continue
+            for k, v in quantities.items():
+                if isinstance(v, (list, tuple)):
+                    for i, elem in enumerate(v):
+                        record[f"{k}_{i}/{split}"] = float(elem)
+                        if self._tb:
+                            self._tb.add_scalar(f"{k}_{i}/{split}",
+                                                float(elem), epoch_id)
+                else:
+                    record[f"{k}/{split}"] = float(v)
+                    if self._tb:
+                        self._tb.add_scalar(f"{k}/{split}", float(v), epoch_id)
+        with open(self.jsonl_path, "a") as f:
+            f.write(json.dumps(record) + "\n")
+        if self._tb:
+            self._tb.flush()

@@ -1,0 +1,225 @@
+"""Prior trainer + unconditional code generation.
+
+Reference semantics: VQCPCB/priors/prior_relative.py — frozen encoder
+produces training codes on the fly (:200-213), causal relative LM over merged
+codes, own train loop (:243-299), generation with a sliding context window
+feeding Decoder.generate_from_code_long (:308-368). The reference has no CLI
+for this (SURVEY.md §2.3 note) — main_prior.py provides one here.
+
+The reference's epoch also contains a latent bug (`self.decoder.parameters()`
+at prior_relative.py:218); the rebuilt trainer simply clips its own grads.
+"""
+from __future__ import annotations
+
+import functools
+import os
+import time
+from datetime import datetime
+from itertools import islice
+from typing import Dict, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vqcpcb_tpu.models.encoder import Encoder, merge_codes
+from vqcpcb_tpu.models.prior import PriorRelative
+from vqcpcb_tpu.ops.sampling import sample_categorical
+from vqcpcb_tpu.parallel import mesh as mesh_lib
+from vqcpcb_tpu.training import checkpoints
+from vqcpcb_tpu.training.metrics import MetricsWriter
+from vqcpcb_tpu.training.optim import make_optimizer
+from vqcpcb_tpu.training.train_state import TrainState
+from vqcpcb_tpu.utils import dict_pretty_print
+
+
+class PriorTrainer:
+    def __init__(self,
+                 model_dir: str,
+                 dataloader_generator,
+                 prior: PriorRelative,
+                 encoder: Encoder,
+                 encoder_variables: Dict,
+                 codebook_size: int,
+                 mesh=None,
+                 seed: int = 0):
+        self.model_dir = model_dir
+        self.dataloader_generator = dataloader_generator
+        self.prior = prior
+        self.encoder = encoder
+        self.encoder_variables = encoder_variables
+        self.codebook_size = codebook_size
+        self.mesh = mesh if mesh is not None else mesh_lib.make_mesh()
+        self._rng = jax.random.PRNGKey(seed)
+        self.state: Optional[TrainState] = None
+        self.tx = None
+        self._build_fns()
+
+    def _build_fns(self):
+        encoder = self.encoder
+        prior = self.prior
+        cb = self.codebook_size
+
+        @jax.jit
+        def encode_codes(encoder_variables, x):
+            _, indices, _ = encoder.apply(encoder_variables, x)
+            return merge_codes(indices, cb)
+
+        self._encode_codes = encode_codes
+
+        def make_train_step(tx):
+            @functools.partial(jax.jit, donate_argnums=(0,))
+            def train_step(state, encoder_variables, x, rng):
+                codes = jax.lax.stop_gradient(encode_codes(encoder_variables, x))
+
+                def loss_fn(params):
+                    out = prior.apply({"params": params}, codes, training=True,
+                                      rngs={"dropout": rng})
+                    return out["loss"], out["monitored_quantities"]
+
+                (loss, metrics), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(state.params)
+                updates, new_opt = tx.update(grads, state.opt_state, state.params)
+                new_params = jax.tree.map(lambda p, u: p + u,
+                                          state.params, updates)
+                return TrainState(params=new_params, opt_state=new_opt,
+                                  step=state.step + 1), metrics
+            return train_step
+
+        self._make_train_step = make_train_step
+
+        @jax.jit
+        def eval_step(params, encoder_variables, x):
+            codes = encode_codes(encoder_variables, x)
+            out = prior.apply({"params": params}, codes, training=False)
+            return out["monitored_quantities"]
+
+        self._eval_step = eval_step
+
+        @functools.partial(jax.jit, static_argnames=("temperature",))
+        def logits_fn(params, x_input):
+            return prior.apply({"params": params}, x_input,
+                               method=PriorRelative.logits)
+
+        self._logits_fn = logits_fn
+        self._train_step = None
+
+    def init_state(self, sample_x: np.ndarray, lr: float) -> TrainState:
+        self._rng, init_rng = jax.random.split(self._rng)
+        codes = self._encode_codes(self.encoder_variables, jnp.asarray(sample_x))
+        variables = self.prior.init(
+            {"params": init_rng, "dropout": init_rng}, codes)
+        self.tx = make_optimizer(lr, schedule_lr=False)
+        params = variables["params"]
+        state = TrainState(params=params, opt_state=self.tx.init(params), step=0)
+        rep = mesh_lib.replicated(self.mesh)
+        self.state = jax.tree.map(lambda a: jax.device_put(a, rep), state)
+        self._train_step = self._make_train_step(self.tx)
+        return self.state
+
+    # ---- loops (reference: prior_relative.py:188-299) ------------------------
+
+    def epoch(self, data_loader: Iterator, train: bool,
+              num_batches: Optional[int]) -> Dict:
+        sums: Dict[str, float] = {}
+        count = 0
+        for batch_np in islice(data_loader, num_batches):
+            x = jax.device_put(batch_np["x"], mesh_lib.batch_sharding(self.mesh))
+            if train:
+                self._rng, rng = jax.random.split(self._rng)
+                self.state, metrics = self._train_step(
+                    self.state, self.encoder_variables, x, rng)
+            else:
+                metrics = self._eval_step(self.state.params,
+                                          self.encoder_variables, x)
+            metrics = jax.device_get(metrics)
+            for k, v in metrics.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+            count += 1
+        return {k: v / count for k, v in sums.items()} if count else {}
+
+    def train_model(self, batch_size, num_batches=None, num_epochs=10,
+                    lr=1e-3, plot=False, num_workers=0, **kwargs):
+        writer = MetricsWriter(self.model_dir, plot=plot)
+        best_val = 1e8
+        for epoch_id in range(num_epochs):
+            generator_train, generator_val, _ = \
+                self.dataloader_generator.dataloaders(
+                    batch_size=batch_size, num_workers=num_workers)
+            if self.state is None:
+                generator_train = iter(generator_train)
+                first = next(generator_train)
+                self.init_state(first["x"], lr=lr)
+                import itertools
+                generator_train = itertools.chain([first], generator_train)
+            monitored_train = self.epoch(generator_train, True, num_batches)
+            monitored_val = self.epoch(
+                generator_val, False,
+                num_batches // 2 if num_batches is not None else None)
+            print(f"======= Epoch {epoch_id} =======")
+            print("---Train---")
+            dict_pretty_print(monitored_train, endstr=" " * 5)
+            print()
+            print("---Val---")
+            dict_pretty_print(monitored_val, endstr=" " * 5)
+            print("\n")
+            self.save(early_stopped=False)
+            valid_loss = monitored_val.get("loss", 1e8)
+            if valid_loss < best_val:
+                self.save(early_stopped=True)
+                best_val = valid_loss
+            writer.write(epoch_id, monitored_train, monitored_val)
+
+    def save(self, early_stopped: bool = True) -> None:
+        checkpoints.save_state(self.model_dir, early_stopped, self.state)
+
+    def load(self, early_stopped: bool = True) -> None:
+        if self.state is None:
+            raise RuntimeError("init_state before load")
+        restored = checkpoints.load_state(
+            self.model_dir, early_stopped, target=jax.device_get(self.state))
+        rep = mesh_lib.replicated(self.mesh)
+        self.state = jax.tree.map(lambda a: jax.device_put(a, rep), restored)
+
+    # ---- generation (reference: prior_relative.py:308-368) -------------------
+
+    def generate_codes(self, num_tokens: int, num_generated_codes: int = 1,
+                       temperature: float = 1.0) -> np.ndarray:
+        """Autoregressive code sampling with a sliding context window.
+
+        The model sees at most its native num_tokens context; like the
+        reference, logits are tempered via p^(T) renormalisation."""
+        model_tokens = self.prior.num_tokens
+        assert num_tokens >= model_tokens
+        x = np.zeros((num_generated_codes, num_tokens), dtype=np.int32)
+        for event_index in range(num_tokens):
+            if event_index >= model_tokens:
+                window = x[:, event_index - model_tokens + 1: event_index + 1]
+                offset = event_index - model_tokens + 1
+            else:
+                window = x[:, :model_tokens]
+                offset = 0
+            logits = self._logits_fn(self.state.params, jnp.asarray(window))
+            logits_t = logits[:, event_index - offset]
+            # reference tempering: p ∝ softmax(logits)^temperature
+            self._rng, rng = jax.random.split(self._rng)
+            sampled = sample_categorical(
+                rng, logits_t * temperature, temperature=1.0)
+            x[:, event_index] = np.asarray(jax.device_get(sampled))
+        return x
+
+    def generate(self, num_tokens: int, decoder_trainer, temperature=1.0,
+                 num_generated_codes=1, num_decodings_per_generated_code=1):
+        codes = self.generate_codes(
+            num_tokens, num_generated_codes=num_generated_codes,
+            temperature=temperature)
+        grids = decoder_trainer.generate_from_code_long(
+            codes, temperature=temperature,
+            num_decodings=num_decodings_per_generated_code)
+        timestamp = datetime.now().strftime("%Y-%m-%d_%H-%M-%S")
+        save_dir = os.path.join(self.model_dir, "generations")
+        os.makedirs(save_dir, exist_ok=True)
+        for k, grid in enumerate(grids):
+            decoder_trainer.dataloader_generator.write(
+                grid, os.path.join(save_dir, f"{timestamp}_{k}"))
+        return grids
