@@ -1,0 +1,124 @@
+"""Headline benchmark: VQ-CPC encoder training tokens/sec on the default
+encoder_random_config geometry (BASELINE.md / BASELINE.json metric).
+
+Runs the framework's jitted train step on the available accelerator (one TPU
+chip under the driver) over pregenerated random batches — the identical
+workload scripts/measure_reference_baseline.py times for the PyTorch
+reference on CPU. Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from vqcpcb_tpu.models.cpc import CModule, FksModule, VQCPCModel
+    from vqcpcb_tpu.models.data_processor import BachCPCDataProcessor
+    from vqcpcb_tpu.models.downscalers import GruDownscaler
+    from vqcpcb_tpu.models.encoder import Encoder
+    from vqcpcb_tpu.models.upscalers import MlpUpscaler
+    from vqcpcb_tpu.ops.quantizer import ProductVectorQuantizer
+    from vqcpcb_tpu.parallel import mesh as mesh_lib
+    from vqcpcb_tpu.training.encoder_trainer import VQCPCEncoderTrainer
+
+    # encoder_random_config geometry (reference parity workload)
+    num_tokens_per_block = 16
+    num_blocks = 6
+    num_neg = 15
+    vocab = 62
+    batch_size = int(os.environ.get("BENCH_BATCH_SIZE", "16"))
+    num_steps = int(os.environ.get("BENCH_STEPS", "100"))
+    warmup = int(os.environ.get("BENCH_WARMUP", "5"))
+    ticks_lr = num_blocks * num_tokens_per_block // 4
+    ticks_block = num_tokens_per_block // 4
+
+    data_processor = BachCPCDataProcessor(
+        embedding_size=32, num_events=ticks_lr * 2,
+        num_tokens_per_channel=[vocab] * 4,
+        num_tokens_per_block=num_tokens_per_block)
+    encoder = Encoder(
+        data_processor=data_processor,
+        downscaler=GruDownscaler(
+            output_dim=3, downscale_factors=[num_tokens_per_block],
+            hidden_size=512, num_layers=2, dropout=0.1, bidirectional=True),
+        quantizer=ProductVectorQuantizer(
+            codebook_size=32, codebook_dim=3, commitment_cost=0.25,
+            num_codebooks=1),
+        upscaler=MlpUpscaler(output_dim=32, hidden_size=512, dropout=0.1))
+    model = VQCPCModel(
+        encoder=encoder,
+        c_module=CModule(hidden_size=512, output_dim=32, num_layers=2,
+                         dropout=0.1),
+        fks_module=FksModule(z_dim=32, c_dim=32, k_max=num_blocks),
+        quantization_weighting=0.5)
+
+    mesh = mesh_lib.make_mesh()
+    trainer = VQCPCEncoderTrainer(
+        model_dir="/tmp/vqcpcb_bench", dataloader_generator=None,
+        model=model, mesh=mesh)
+
+    rng = np.random.RandomState(0)
+
+    def make_batch():
+        return {
+            "x_left": rng.randint(0, vocab, size=(batch_size, ticks_lr, 4)
+                                  ).astype(np.int32),
+            "x_right": rng.randint(0, vocab, size=(batch_size, ticks_lr, 4)
+                                   ).astype(np.int32),
+            "negative_samples": rng.randint(
+                0, vocab, size=(batch_size, num_neg, num_blocks,
+                                ticks_block, 4)).astype(np.int32),
+        }
+
+    batches = [mesh_lib.shard_batch(make_batch(), mesh) for _ in range(4)]
+    tokens_per_batch = (2 * batch_size * ticks_lr * 4
+                        + batch_size * num_neg * num_blocks * ticks_block * 4)
+
+    trainer.init_state(jax.device_get(batches[0]), lr=1e-4)
+
+    def step(i):
+        trainer._rng, r = jax.random.split(trainer._rng)
+        trainer.state, metrics = trainer._train_step(
+            trainer.state, batches[i % len(batches)], r,
+            corrupt_labels=False)
+        return metrics
+
+    for i in range(warmup):
+        m = step(i)
+    jax.block_until_ready(m["loss"])
+    t0 = time.perf_counter()
+    for i in range(num_steps):
+        m = step(i)
+    jax.block_until_ready(m["loss"])
+    elapsed = time.perf_counter() - t0
+    tokens_per_sec = tokens_per_batch * num_steps / elapsed
+
+    baseline_path = os.path.join(REPO_ROOT, "baseline_measured.json")
+    vs_baseline = None
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            baseline = json.load(f)
+        vs_baseline = tokens_per_sec / baseline["encoder_train_tokens_per_sec_cpu"]
+
+    print(json.dumps({
+        "metric": "encoder_train_tokens_per_sec",
+        "value": round(tokens_per_sec, 1),
+        "unit": "tokens/s",
+        "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+    }))
+    print(f"# device={jax.devices()[0].platform} steps/s="
+          f"{num_steps / elapsed:.2f} batch={batch_size} "
+          f"loss={float(jax.device_get(m['loss'])):.4f}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,123 @@
+"""Prior training / generation CLI.
+
+The reference builds PriorRelative (VQCPCB/priors/prior_relative.py,
+getters.py:398-428) but ships no CLI for it (SURVEY.md §2.3); this provides
+one with the same flag conventions as the other entry points. The prior
+config adds `config_decoder` (a trained decoder config path) used at
+generation time.
+"""
+import os
+import shutil
+from datetime import datetime
+
+import click
+import jax
+
+
+@click.command()
+@click.option("-t", "--train", is_flag=True)
+@click.option("-l", "--load", is_flag=True)
+@click.option("-c", "--config", "config_path", type=click.Path(exists=True))
+@click.option("-g", "--generate", "do_generate", is_flag=True)
+@click.option("-n", "--num_workers", type=int, default=0)
+@click.option("--num_epochs", type=int, default=None)
+def main(train, load, config_path, do_generate, num_workers, num_epochs):
+    from main_decoder import load_encoder_stack
+    from vqcpcb_tpu import getters
+    from vqcpcb_tpu.training.prior_trainer import PriorTrainer
+    from vqcpcb_tpu.utils import load_config_module
+
+    print(f"Devices: {jax.devices()}")
+    config = load_config_module(config_path)
+
+    if config.get("timestamp") is not None:
+        timestamp = config["timestamp"]
+    else:
+        timestamp = datetime.now().strftime("%Y-%m-%d_%H-%M-%S")
+        config["timestamp"] = timestamp
+    model_dir = (os.path.dirname(config_path) if load
+                 else f"models/{config['savename']}_{timestamp}")
+    if num_epochs is not None:
+        config["num_epochs"] = num_epochs
+
+    dataloader_generator = getters.get_dataloader_generator(
+        dataset=config["dataset"],
+        training_method="prior",
+        dataloader_generator_kwargs=config["dataloader_generator_kwargs"],
+        config=config)
+
+    gen_train, _, _ = dataloader_generator.dataloaders(
+        batch_size=config["batch_size"], num_workers=num_workers)
+    first = next(iter(gen_train))
+
+    encoder, encoder_variables, encoder_config = load_encoder_stack(
+        config, first["x"])
+
+    prior = getters.get_prior(
+        dataloader_generator=dataloader_generator,
+        encoder=encoder,
+        encoder_config=encoder_config,
+        prior_type=config.get("prior_type", "transformer_relative"),
+        prior_kwargs=config["prior_kwargs"])
+
+    trainer = PriorTrainer(
+        model_dir=model_dir,
+        dataloader_generator=dataloader_generator,
+        prior=prior,
+        encoder=encoder,
+        encoder_variables=encoder_variables,
+        codebook_size=encoder_config["quantizer_kwargs"]["codebook_size"])
+
+    trainer.init_state(first["x"], lr=config["lr"])
+    if load:
+        trainer.load(early_stopped=True)
+
+    if train:
+        if not load:
+            os.makedirs(model_dir, exist_ok=True)
+            shutil.copy(config_path, os.path.join(model_dir, "config.py"))
+        trainer.train_model(
+            batch_size=config["batch_size"],
+            num_batches=config["num_batches"],
+            num_epochs=config["num_epochs"],
+            lr=config["lr"],
+            plot=True,
+            num_workers=num_workers)
+
+    if do_generate:
+        from main_decoder import main as _  # noqa: F401 (doc pointer)
+        config_decoder_path = config["config_decoder"]
+        decoder_config = load_config_module(config_decoder_path)
+        data_processor = getters.get_data_processor(
+            dataloader_generator=dataloader_generator,
+            data_processor_type=decoder_config["data_processor_type"],
+            data_processor_kwargs=decoder_config["data_processor_kwargs"])
+        decoder = getters.get_decoder(
+            dataloader_generator=dataloader_generator,
+            data_processor=data_processor,
+            encoder=encoder,
+            encoder_config=encoder_config,
+            decoder_type=decoder_config["decoder_type"],
+            decoder_kwargs=decoder_config["decoder_kwargs"])
+        from vqcpcb_tpu.training.decoder_trainer import DecoderTrainer
+        decoder_trainer = DecoderTrainer(
+            model_dir=os.path.dirname(config_decoder_path),
+            dataloader_generator=dataloader_generator,
+            decoder=decoder,
+            encoder=encoder,
+            encoder_variables=encoder_variables,
+            codebook_size=encoder_config["quantizer_kwargs"]["codebook_size"],
+            num_codebooks=encoder_config["quantizer_kwargs"]["num_codebooks"])
+        decoder_trainer.init_state(first["x"], lr=decoder_config["lr"])
+        decoder_trainer.load(early_stopped=True)
+        trainer.generate(
+            num_tokens=prior.num_tokens,
+            decoder_trainer=decoder_trainer,
+            temperature=config.get("generation_temperature", 1.0),
+            num_generated_codes=config.get("num_generated_codes", 1),
+            num_decodings_per_generated_code=config.get(
+                "num_decodings_per_generated_code", 1))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,77 @@
+"""CLI smoke tests: train one tiny epoch via the public entry points, then
+reload; decoder generation path end-to-end."""
+import os
+import shutil
+import sys
+
+import pytest
+from click.testing import CliRunner
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+@pytest.fixture
+def workdir(tmp_path, monkeypatch):
+    # run CLIs inside an isolated cwd with local configs/ copies
+    cfg_dir = tmp_path / "configs"
+    cfg_dir.mkdir()
+    for name in ("encoder_smoke.py", "decoder_smoke.py"):
+        shutil.copy(os.path.join(REPO, "tests", "configs", name), cfg_dir / name)
+    # point decoder's config_encoder at the copied encoder config
+    text = (cfg_dir / "decoder_smoke.py").read_text()
+    text = text.replace(
+        "os.path.join(os.path.dirname(__file__), 'encoder_smoke.py')",
+        repr(str(cfg_dir / "encoder_smoke.py")))
+    (cfg_dir / "decoder_smoke.py").write_text(text)
+    monkeypatch.chdir(tmp_path)
+    return tmp_path
+
+
+def test_main_encoder_train_and_load(workdir):
+    from main_encoder import main as encoder_main
+    runner = CliRunner()
+    result = runner.invoke(
+        encoder_main,
+        ["-t", "-c", "configs/encoder_smoke.py", "--num_epochs", "1"],
+        catch_exceptions=False)
+    assert result.exit_code == 0, result.output
+    model_dirs = os.listdir(workdir / "models")
+    assert len(model_dirs) == 1
+    model_dir = workdir / "models" / model_dirs[0]
+    assert (model_dir / "config.py").exists()
+    assert (model_dir / "overfitted").exists()
+    assert (model_dir / "early_stopped").exists()
+    assert (model_dir / "metrics.jsonl").exists()
+    # cluster dumps were produced
+    assert (model_dir / "clusters_train").exists()
+
+    # reload from the copied config inside the model dir
+    result = runner.invoke(
+        encoder_main,
+        ["-l", "-c", str(model_dir / "config.py")],
+        catch_exceptions=False)
+    assert result.exit_code == 0, result.output
+
+
+def test_main_decoder_train_and_reharmonize(workdir):
+    from main_decoder import main as decoder_main
+    runner = CliRunner()
+    result = runner.invoke(
+        decoder_main,
+        ["-t", "-c", "configs/decoder_smoke.py", "--num_epochs", "1"],
+        catch_exceptions=False)
+    assert result.exit_code == 0, result.output
+    model_dirs = os.listdir(workdir / "models")
+    assert len(model_dirs) == 1
+    model_dir = workdir / "models" / model_dirs[0]
+    assert (model_dir / "overfitted").exists()
+
+    # load + reharmonisation (synthetic corpus, json score fallback)
+    result = runner.invoke(
+        decoder_main,
+        ["-l", "-r", "-c", str(model_dir / "config.py")],
+        catch_exceptions=False)
+    assert result.exit_code == 0, result.output
+    rehar = model_dir / "reharmonisations"
+    assert rehar.exists() and len(list(rehar.iterdir())) >= 3

@@ -263,6 +263,13 @@ class BachCPCDataloaderGenerator(DataloaderGenerator):
         tb = self.num_tokens_per_block // NUM_VOICES
         b = x_left.shape[0]
 
+        from vqcpcb_tpu import native
+        out = native.build_negatives_same_seq_native(
+            x_left, x_right,
+            x_left.shape[1] // tb, self.num_blocks_right, tb)
+        if out is not None:
+            return out
+
         def blocks(x):
             # (B, ticks, voices) -> (B, num_blocks, tb, voices)
             nb = x.shape[1] // tb

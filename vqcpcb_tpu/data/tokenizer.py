@@ -96,25 +96,36 @@ def part_to_ticks(events: Sequence[NeutralEvent],
             return OUT_OF_RANGE
         return e.name
 
-    t = np.zeros((length, 2), dtype=np.int64)
     slur_index = note2index[SLUR_SYMBOL]
     num_notes = len(sel)
     if num_notes == 0:
         return np.full((length,), slur_index, dtype=np.int64)
+
+    # native fast path (vqcpcb_tpu/native/tokenizer.cpp), NumPy-free loop
+    from vqcpcb_tpu import native
+    offsets = np.asarray([e.offset for e in sel], dtype=np.float64)
+    token_index = np.asarray([note2index[name_of(e)] for e in sel],
+                             dtype=np.int32)
+    out = native.part_to_ticks_native(
+        offsets, token_index, length, subdivision, offset_start, slur_index)
+    if out is not None:
+        return out.astype(np.int64)
+
+    t = np.zeros((length, 2), dtype=np.int64)
     j = 0
     i = 0
     is_articulated = True
     while i < length:
         if j < num_notes - 1:
             if sel[j + 1].offset > i / subdivision + offset_start:
-                t[i] = [note2index[name_of(sel[j])], int(is_articulated)]
+                t[i] = [token_index[j], int(is_articulated)]
                 i += 1
                 is_articulated = False
             else:
                 j += 1
                 is_articulated = True
         else:
-            t[i] = [note2index[name_of(sel[j])], int(is_articulated)]
+            t[i] = [token_index[j], int(is_articulated)]
             i += 1
             is_articulated = False
     return t[:, 0] * t[:, 1] + (1 - t[:, 1]) * slur_index
@@ -197,19 +208,56 @@ def min_max_transposition(current_subseq_ranges,
     return (max(mins), min(maxs))
 
 
+def extract_windows_batch(grid: np.ndarray,
+                          start_ticks: np.ndarray,
+                          window_len: int,
+                          vocab: Vocabulary) -> np.ndarray:
+    """Batched window extraction with START/END/PAD padding — native kernel
+    when built, vectorised NumPy otherwise. Returns
+    (num_windows, num_voices, window_len) int32."""
+    from vqcpcb_tpu import native
+    start_symbols = np.array(vocab.symbol_indices(START_SYMBOL), np.int32)
+    end_symbols = np.array(vocab.symbol_indices(END_SYMBOL), np.int32)
+    pad_symbols = np.array(vocab.symbol_indices(PAD_SYMBOL), np.int32)
+    out = native.extract_windows_native(
+        grid, start_ticks, window_len, start_symbols, end_symbols, pad_symbols)
+    if out is not None:
+        return out
+    num_voices, length = grid.shape
+    ticks = start_ticks[:, None] + np.arange(window_len)[None, :]  # (W, T)
+    clipped = np.clip(ticks, 0, length - 1)
+    gathered = grid[:, clipped]                       # (V, W, T)
+    gathered = np.transpose(gathered, (1, 0, 2)).copy()
+    sym = {
+        "pad": np.broadcast_to(pad_symbols[None, :, None], gathered.shape),
+        "start": np.broadcast_to(start_symbols[None, :, None], gathered.shape),
+        "end": np.broadcast_to(end_symbols[None, :, None], gathered.shape),
+    }
+    t = ticks[:, None, :]
+    gathered = np.where(t < -1, sym["pad"], gathered)
+    gathered = np.where(t == -1, sym["start"], gathered)
+    gathered = np.where(t == length, sym["end"], gathered)
+    gathered = np.where(t > length, sym["pad"], gathered)
+    return gathered.astype(np.int32)
+
+
 def make_window_dataset(scores: Iterable[NeutralScore],
                         vocab: Vocabulary,
                         sequences_size: int,
                         subdivision: int) -> np.ndarray:
     """All (num_voices, sequences_size*subdivision) windows over the corpus
-    with every valid transposition (chorale_dataset.py:109-183).
+    with every valid transposition (chorale_dataset.py:109-183); the window
+    *order* (offset-major, semitone-minor per score) matches the reference so
+    the contiguous train/val/test split selects the same material.
 
     Returns int32 (num_windows, num_voices, ticks)."""
     one_beat = 1.0
     num_voices = vocab.num_voices
-    windows = []
+    window_len = sequences_size * subdivision
+    all_windows = []
     for score in scores:
-        transposed_ticks: Dict[int, np.ndarray] = {}
+        # plan: ordered (semitone, start_tick) jobs for this score
+        jobs = []
         for offset_start in np.arange(
                 score.lowest_offset - (sequences_size - one_beat),
                 score.highest_offset,
@@ -219,16 +267,21 @@ def make_window_dataset(scores: Iterable[NeutralScore],
                                             offset_start, offset_end)
             mn, mx = min_max_transposition(ranges, vocab.voice_ranges)
             for semi_tone in range(mn, mx + 1):
-                start_tick = int(offset_start * subdivision)
-                end_tick = int(offset_end * subdivision)
-                if semi_tone not in transposed_ticks:
-                    transposed = score.transpose(semi_tone)
-                    transposed_ticks[semi_tone] = score_to_ticks(
-                        transposed, vocab, subdivision)
-                ticks = transposed_ticks[semi_tone]
-                windows.append(extract_with_padding(
-                    ticks, start_tick, end_tick, vocab))
-    return np.stack(windows, axis=0).astype(np.int32)
+                jobs.append((semi_tone, int(offset_start * subdivision)))
+        if not jobs:
+            continue
+        # tokenize each needed transposition once, extract its windows batched
+        semis = np.array([j[0] for j in jobs])
+        starts = np.array([j[1] for j in jobs], dtype=np.int64)
+        out = np.empty((len(jobs), num_voices, window_len), dtype=np.int32)
+        for semi_tone in np.unique(semis):
+            ticks = score_to_ticks(score.transpose(int(semi_tone)),
+                                   vocab, subdivision)
+            sel = semis == semi_tone
+            out[sel] = extract_windows_batch(
+                ticks.astype(np.int32), starts[sel], window_len, vocab)
+        all_windows.append(out)
+    return np.concatenate(all_windows, axis=0).astype(np.int32)
 
 
 def ticks_to_neutral_events(tensor_score: np.ndarray,

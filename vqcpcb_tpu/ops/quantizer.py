@@ -100,13 +100,11 @@ class ProductVectorQuantizer(nn.Module):
         x = flat.reshape(n, self.num_codebooks, sub_dim)
         e = self.codebooks                                    # (K, S, d)
 
-        # Squared L2 distances via the expanded form (single MXU matmul).
-        x2 = jnp.sum(x.astype(jnp.float32) ** 2, axis=-1, keepdims=True)   # (n, K, 1)
-        e2 = jnp.sum(e.astype(jnp.float32) ** 2, axis=-1)                   # (K, S)
-        xe = jnp.einsum("nkd,ksd->nks", x, e,
-                        preferred_element_type=jnp.float32)                 # (n, K, S)
-        distances = x2 - 2.0 * xe + e2[None]                                # (n, K, S)
-        indices = jnp.argmin(distances, axis=-1)                            # (n, K)
+        # Fused nearest-neighbour search: Pallas kernel on TPU, XLA expanded
+        # form elsewhere. Indices are integers, so autodiff is unaffected.
+        from vqcpcb_tpu.ops.pallas_vq import nearest_codebook_indices
+        indices = nearest_codebook_indices(
+            jax.lax.stop_gradient(x), jax.lax.stop_gradient(e))     # (n, K)
 
         if training and corrupt_labels:
             rng_idx = self.make_rng("corrupt")

@@ -96,7 +96,7 @@ class PriorTrainer:
 
         self._eval_step = eval_step
 
-        @functools.partial(jax.jit, static_argnames=("temperature",))
+        @jax.jit
         def logits_fn(params, x_input):
             return prior.apply({"params": params}, x_input,
                                method=PriorRelative.logits)
