@@ -1,0 +1,82 @@
+"""VQ-CPC encoder, random negatives — the default encoder recipe
+(schema of reference VQCPCB/configs/encoder_random_config.py)."""
+from pathlib import Path
+
+subdivision = 4
+num_beats = 1
+num_voices = 4
+num_tokens_per_block = num_beats * subdivision * num_voices
+num_block_left = 6
+num_block_right = 6
+sequences_size = num_beats
+
+config = {
+    'training_method': 'vqcpc',   # vqcpc or student
+    'dataset': 'bach',            # bach (music21) or synthetic
+
+    # ======== Dataloader ======
+    'dataloader_generator_kwargs': dict(num_tokens_per_block=num_tokens_per_block,
+                                        num_blocks_left=num_block_left,
+                                        num_blocks_right=num_block_right,
+                                        negative_sampling_method='same_sequence',
+                                        num_negative_samples=15,
+                                        sequences_size=sequences_size,
+                                        ),
+    'subdivision': subdivision,
+
+    # ======== Encoder =========
+    'data_processor_type': 'bach_cpc',
+    'data_processor_kwargs': dict(
+        embedding_size=32
+    ),
+    'downscaler_type': 'relative_transformer_downscaler',
+    'downscaler_kwargs': dict(
+        downscale_factors=[4, 4],
+        d_model=512,
+        n_head=8,
+        list_of_num_layers=[4, 4],
+        dim_feedforward=2048,
+        dropout=0.1
+    ),
+    'quantizer_type': 'commitment',
+    'quantizer_kwargs': dict(
+        num_codebooks=1,
+        codebook_size=32,
+        codebook_dim=3,
+        commitment_cost=0.25,
+        use_batch_norm=False,
+        squared_l2_norm=True
+    ),
+    'upscaler_type': 'mlp_upscaler',
+    'upscaler_kwargs': dict(
+        output_dim=32,
+        hidden_size=512,
+        dropout=0.1
+    ),
+
+    # ======== AuxiliaryNetworks =====
+    'auxiliary_networks_kwargs': {
+        'quantization_weighting': 0.5,
+        'c_net_kwargs': dict(
+            output_dim=32,
+            hidden_size=512,
+            num_layers=2,
+            dropout=0.1,
+            bidirectional=False,
+        ),
+    },
+
+    # ======== Training ========
+    'lr': 1e-4,
+    'schedule_lr': False,
+    'batch_size': 16,
+    'num_batches': None,
+    'num_epochs': 20000,
+    'quantizer_regularization': dict(
+        corrupt_labels=False
+    ),
+
+    # ======== model ID ========
+    'timestamp': None,
+    'savename': Path(__file__).stem,
+}

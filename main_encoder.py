@@ -30,6 +30,10 @@ def main(train, load, config_path, num_workers, num_epochs):
     from vqcpcb_tpu.training import analysis
     from vqcpcb_tpu.utils import load_config_module
 
+    from vqcpcb_tpu.parallel.distributed import maybe_initialize
+    from vqcpcb_tpu.training.profiling import enable_debug_checks
+    maybe_initialize()
+    enable_debug_checks()
     print(f"Devices: {jax.devices()}")
     config = load_config_module(config_path)
 

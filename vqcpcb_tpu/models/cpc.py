@@ -149,7 +149,8 @@ class VQCPCModel(nn.Module):
             "loss_contrastive": contrastive_loss,
             "accuracy": accuracy,                            # (k,)
         }
-        # codebook-usage monitors (reference :325-331)
+        # codebook-usage monitors (reference :325-331) + codebook perplexity
+        # (exp entropy of the code-usage histogram — the BASELINE.md metric)
         quant = self.encoder.quantizer
         if getattr(quant, "codebook_size", 0):
             merged_vocab = quant.codebook_size ** quant.num_codebooks
@@ -157,7 +158,11 @@ class VQCPCModel(nn.Module):
                 pos = merge_codes(
                     jnp.concatenate([idx_left, idx_right], axis=0),
                     quant.codebook_size).reshape(-1)
-                metrics["num_codewords"] = _count_unique(pos, merged_vocab)
+                hist = jnp.zeros((merged_vocab,), jnp.int32).at[pos].add(1)
+                metrics["num_codewords"] = (hist > 0).sum()
+                p = hist / jnp.maximum(hist.sum(), 1)
+                entropy = -jnp.sum(jnp.where(p > 0, p * jnp.log(p), 0.0))
+                metrics["codebook_perplexity"] = jnp.exp(entropy)
                 neg = merge_codes(
                     idx_neg.reshape(-1, idx_neg.shape[-1])[None],
                     quant.codebook_size).reshape(-1)

@@ -28,9 +28,12 @@ class PriorRelative(nn.Module):
     num_events: int
     dropout: float
 
+    @property
+    def num_tokens(self) -> int:
+        return self.num_channels * self.num_events
+
     def setup(self):
         assert self.num_channels == 1
-        self.num_tokens = self.num_channels * self.num_events
         self.embedding = nn.Embed(self.code_vocab_size, self.embedding_size)
         self.linear = nn.Dense(self.d_model)
         self.sos = self.param("sos", nn.initializers.normal(1.0),

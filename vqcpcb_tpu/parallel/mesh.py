@@ -44,9 +44,19 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh):
-    """device_put a dict of host arrays with the batch axis sharded."""
-    sharding = batch_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+    """device_put a dict of host arrays with the batch axis sharded; arrays
+    whose leading dim does not divide the data axis are replicated (e.g. a
+    stray last batch or tiny eval batches)."""
+    sharded = batch_sharding(mesh)
+    rep = replicated(mesh)
+    n_data = mesh.shape[DATA_AXIS]
+
+    def place(x):
+        if np.ndim(x) >= 1 and x.shape[0] % n_data == 0:
+            return jax.device_put(x, sharded)
+        return jax.device_put(x, rep)
+
+    return jax.tree.map(place, batch)
 
 
 # ---- tensor-parallel parameter rules ----------------------------------------

@@ -73,6 +73,32 @@ def show_nn_clusters(codebooks: np.ndarray, k: int = 3) -> Dict[int, list]:
     return out
 
 
+def plot_attention(attentions: np.ndarray, out_path: str,
+                   batch_index: int = 0) -> str:
+    """Per-head attention heatmaps for one batch item
+    (reference: decoders/decoder.py:1019-1050).
+
+    attentions: (batch, heads, tgt, src)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import seaborn as sns
+
+    att = np.asarray(attentions)[batch_index]
+    num_heads = att.shape[0]
+    plt.clf()
+    plt.cla()
+    for head_index in range(num_heads):
+        plt.subplot(1, num_heads, head_index + 1)
+        plt.title(f"Head {head_index}")
+        sns.heatmap(att[head_index], vmin=0, vmax=1, cmap="YlGnBu")
+        plt.grid(True)
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    plt.savefig(out_path)
+    plt.close()
+    return out_path
+
+
 def scatterplot_clusters_3d(codebooks: np.ndarray, model_dir: str) -> str:
     """(reference: encoder.py:187-228); only for codebook_dim < 4."""
     import matplotlib

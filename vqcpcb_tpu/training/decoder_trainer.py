@@ -42,6 +42,7 @@ from vqcpcb_tpu.parallel import mesh as mesh_lib
 from vqcpcb_tpu.training import checkpoints
 from vqcpcb_tpu.training.metrics import MetricsWriter
 from vqcpcb_tpu.training.optim import make_optimizer
+from vqcpcb_tpu.training.profiling import maybe_profile
 from vqcpcb_tpu.training.train_state import TrainState
 from vqcpcb_tpu.utils import dict_pretty_print
 
@@ -182,7 +183,7 @@ class DecoderTrainer:
         tokens = 0
         t0 = time.perf_counter()
         for batch_np in islice(data_loader, num_batches):
-            x = jax.device_put(batch_np["x"], mesh_lib.batch_sharding(self.mesh))
+            x = mesh_lib.shard_batch(batch_np["x"], self.mesh)
             if train:
                 self._rng, rng = jax.random.split(self._rng)
                 self.state, metrics = self._train_step(
@@ -216,7 +217,8 @@ class DecoderTrainer:
                 import itertools
                 generator_train = itertools.chain([first], generator_train)
 
-            monitored_train = self.epoch(generator_train, True, num_batches)
+            with maybe_profile(f"epoch_{epoch_id}_train"):
+                monitored_train = self.epoch(generator_train, True, num_batches)
             monitored_val = self.epoch(
                 generator_val, False,
                 num_batches // 2 if num_batches is not None else None)
@@ -447,6 +449,29 @@ class DecoderTrainer:
         for k, grid in enumerate(outs):
             self.dataloader_generator.write(grid, os.path.join(save_dir, str(k)))
         return outs
+
+    # ---- attention-map dumps (reference: decoder.py:645-667,1019-1050) -------
+
+    def dump_attention_maps(self, x: np.ndarray, out_dir: Optional[str] = None):
+        """Run one teacher-forced forward with attention collection and write
+        per-layer heatmaps (self- and cross-attention of every decoder layer,
+        batch item 0)."""
+        from vqcpcb_tpu.training import analysis
+
+        out_dir = out_dir or os.path.join(self.model_dir, "attention_maps")
+        codes = self._encode_codes(self.encoder_variables, jnp.asarray(x))
+        out = self.decoder.apply(
+            {"params": jax.device_get(self.state.params)}, codes,
+            jnp.asarray(x), training=False, collect_attentions=True)
+        written = []
+        for layer_idx, att in enumerate(out["attentions_decoder"]):
+            for name in ("a_self_decoder", "a_cross"):
+                if att.get(name) is None:
+                    continue
+                path = os.path.join(out_dir, f"layer{layer_idx}_{name}.pdf")
+                written.append(analysis.plot_attention(
+                    np.asarray(jax.device_get(att[name])), path))
+        return written
 
     # ---- plagiarism check (reference: decoder.py:983-1017) -------------------
 

@@ -29,6 +29,7 @@ from vqcpcb_tpu.parallel import mesh as mesh_lib
 from vqcpcb_tpu.training import checkpoints
 from vqcpcb_tpu.training.metrics import MetricsWriter
 from vqcpcb_tpu.training.optim import make_optimizer
+from vqcpcb_tpu.training.profiling import maybe_profile
 from vqcpcb_tpu.training.train_state import TrainState
 from vqcpcb_tpu.utils import dict_pretty_print
 
@@ -219,9 +220,10 @@ class VQCPCEncoderTrainer:
                 import itertools
                 generator_train = itertools.chain([first], generator_train)
 
-            monitored_train = self.epoch(
-                generator_train, train=True, num_batches=num_batches,
-                corrupt_labels=corrupt_labels)
+            with maybe_profile(f"epoch_{epoch_id}_train"):
+                monitored_train = self.epoch(
+                    generator_train, train=True, num_batches=num_batches,
+                    corrupt_labels=corrupt_labels)
             monitored_val = self.epoch(
                 generator_val, train=False,
                 num_batches=num_batches // 2 if num_batches is not None else None,

@@ -29,6 +29,7 @@ from vqcpcb_tpu.parallel import mesh as mesh_lib
 from vqcpcb_tpu.training import checkpoints
 from vqcpcb_tpu.training.metrics import MetricsWriter
 from vqcpcb_tpu.training.optim import make_optimizer
+from vqcpcb_tpu.training.profiling import maybe_profile
 from vqcpcb_tpu.training.train_state import TrainState
 from vqcpcb_tpu.utils import dict_pretty_print
 
@@ -124,7 +125,7 @@ class PriorTrainer:
         sums: Dict[str, float] = {}
         count = 0
         for batch_np in islice(data_loader, num_batches):
-            x = jax.device_put(batch_np["x"], mesh_lib.batch_sharding(self.mesh))
+            x = mesh_lib.shard_batch(batch_np["x"], self.mesh)
             if train:
                 self._rng, rng = jax.random.split(self._rng)
                 self.state, metrics = self._train_step(
@@ -152,7 +153,8 @@ class PriorTrainer:
                 self.init_state(first["x"], lr=lr)
                 import itertools
                 generator_train = itertools.chain([first], generator_train)
-            monitored_train = self.epoch(generator_train, True, num_batches)
+            with maybe_profile(f"epoch_{epoch_id}_train"):
+                monitored_train = self.epoch(generator_train, True, num_batches)
             monitored_val = self.epoch(
                 generator_val, False,
                 num_batches // 2 if num_batches is not None else None)

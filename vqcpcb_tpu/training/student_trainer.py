@@ -32,6 +32,7 @@ from vqcpcb_tpu.parallel import mesh as mesh_lib
 from vqcpcb_tpu.training import checkpoints
 from vqcpcb_tpu.training.metrics import MetricsWriter
 from vqcpcb_tpu.training.optim import make_optimizer
+from vqcpcb_tpu.training.profiling import maybe_profile
 from vqcpcb_tpu.training.train_state import TrainState
 from vqcpcb_tpu.utils import dict_pretty_print
 
@@ -272,7 +273,7 @@ class StudentEncoderTrainer:
         tokens = 0
         t0 = time.perf_counter()
         for batch_np in islice(data_loader, num_batches):
-            x = jax.device_put(batch_np["x"], mesh_lib.batch_sharding(self.mesh))
+            x = mesh_lib.shard_batch(batch_np["x"], self.mesh)
             self._rng, rng = jax.random.split(self._rng)
             if train:
                 self.state, metrics = self._train_step(self.state, x, rng)
@@ -306,7 +307,8 @@ class StudentEncoderTrainer:
                 import itertools
                 generator_train = itertools.chain([first], generator_train)
 
-            monitored_train = self.epoch(generator_train, True, num_batches)
+            with maybe_profile(f"epoch_{epoch_id}_train"):
+                monitored_train = self.epoch(generator_train, True, num_batches)
             monitored_val = self.epoch(
                 generator_val, False,
                 num_batches // 2 if num_batches is not None else None)
