@@ -16,14 +16,16 @@ def workdir(tmp_path, monkeypatch):
     # run CLIs inside an isolated cwd with local configs/ copies
     cfg_dir = tmp_path / "configs"
     cfg_dir.mkdir()
-    for name in ("encoder_smoke.py", "decoder_smoke.py"):
+    for name in ("encoder_smoke.py", "decoder_smoke.py",
+                 "encoder_student_smoke.py", "prior_smoke.py"):
         shutil.copy(os.path.join(REPO, "tests", "configs", name), cfg_dir / name)
-    # point decoder's config_encoder at the copied encoder config
-    text = (cfg_dir / "decoder_smoke.py").read_text()
-    text = text.replace(
-        "os.path.join(os.path.dirname(__file__), 'encoder_smoke.py')",
-        repr(str(cfg_dir / "encoder_smoke.py")))
-    (cfg_dir / "decoder_smoke.py").write_text(text)
+    # point configs at the copied encoder config
+    for name in ("decoder_smoke.py", "prior_smoke.py"):
+        text = (cfg_dir / name).read_text()
+        text = text.replace(
+            "os.path.join(os.path.dirname(__file__), 'encoder_smoke.py')",
+            repr(str(cfg_dir / "encoder_smoke.py")))
+        (cfg_dir / name).write_text(text)
     monkeypatch.chdir(tmp_path)
     return tmp_path
 
@@ -52,6 +54,33 @@ def test_main_encoder_train_and_load(workdir):
         ["-l", "-c", str(model_dir / "config.py")],
         catch_exceptions=False)
     assert result.exit_code == 0, result.output
+
+
+def test_main_encoder_student_training(workdir):
+    from main_encoder import main as encoder_main
+    runner = CliRunner()
+    result = runner.invoke(
+        encoder_main,
+        ["-t", "-c", "configs/encoder_student_smoke.py", "--num_epochs", "1"],
+        catch_exceptions=False)
+    assert result.exit_code == 0, result.output
+    model_dirs = os.listdir(workdir / "models")
+    model_dir = workdir / "models" / model_dirs[0]
+    assert (model_dir / "overfitted").exists()
+    assert (model_dir / "metrics.jsonl").exists()
+
+
+def test_main_prior_training(workdir):
+    from main_prior import main as prior_main
+    runner = CliRunner()
+    result = runner.invoke(
+        prior_main,
+        ["-t", "-c", "configs/prior_smoke.py", "--num_epochs", "1"],
+        catch_exceptions=False)
+    assert result.exit_code == 0, result.output
+    model_dirs = os.listdir(workdir / "models")
+    model_dir = workdir / "models" / model_dirs[0]
+    assert (model_dir / "overfitted").exists()
 
 
 def test_main_decoder_train_and_reharmonize(workdir):
