@@ -140,3 +140,25 @@ def test_cpc_dataloader_contract(tmp_path, method):
             for n in range(num_neg):
                 for k in range(3):
                     assert neg[b, n, k].tobytes() in pool
+
+
+GOLDEN_FINGERPRINT = (101, 26509, 143, 169)
+
+
+def test_golden_window_dataset():
+    """Golden regression: the exact window tensor for a fixed tiny corpus.
+    Catches any silent change to tokenization/windowing/transposition."""
+    corpus = SyntheticChoraleCorpus(num_chorales=1, min_beats=8, max_beats=8,
+                                    seed=7)
+    vocab = corpus.build_vocabulary()
+    from vqcpcb_tpu.data.tokenizer import make_window_dataset
+    w = make_window_dataset(corpus, vocab, sequences_size=2, subdivision=4)
+    # shape & determinism
+    assert w.shape[1:] == (4, 8)
+    w2 = make_window_dataset(corpus, vocab, sequences_size=2, subdivision=4)
+    np.testing.assert_array_equal(w, w2)
+    # frozen fingerprint of the full tensor (update only with an explicit
+    # semantics change)
+    fingerprint = (int(w.shape[0]), int(w.sum()), int(w[0].sum()),
+                   int(w[-1].sum()))
+    assert fingerprint == GOLDEN_FINGERPRINT, fingerprint

@@ -179,6 +179,7 @@ class DecoderTrainer:
     def epoch(self, data_loader: Iterator, train: bool,
               num_batches: Optional[int]) -> Dict:
         sums: Dict[str, float] = {}
+        device_metrics = []
         count = 0
         tokens = 0
         t0 = time.perf_counter()
@@ -191,13 +192,14 @@ class DecoderTrainer:
             else:
                 metrics = self._eval_step(self.state.params,
                                           self.encoder_variables, x)
-            metrics = jax.device_get(metrics)
-            for k, v in metrics.items():
-                sums[k] = sums.get(k, 0.0) + float(v)
+            device_metrics.append(metrics)
             count += 1
             tokens += int(np.prod(batch_np["x"].shape))
         if count == 0:
             return {}
+        for metrics in jax.device_get(device_metrics):
+            for k, v in metrics.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
         means = {k: v / count for k, v in sums.items()}
         means["tokens_per_sec"] = tokens / max(time.perf_counter() - t0, 1e-9)
         return means

@@ -162,7 +162,9 @@ class VQCPCEncoderTrainer:
               train: bool,
               num_batches: Optional[int],
               corrupt_labels: bool = False) -> Dict:
-        sums: Dict[str, np.ndarray] = {}
+        # metrics stay on device during the loop so steps pipeline without
+        # a host sync; one transfer per epoch at the end
+        device_metrics = []
         count = 0
         tokens = 0
         t0 = time.perf_counter()
@@ -174,15 +176,18 @@ class VQCPCEncoderTrainer:
                     self.state, batch, step_rng, corrupt_labels=corrupt_labels)
             else:
                 metrics = self._eval_step(self.state, batch, step_rng)
-            metrics = jax.device_get(metrics)
-            for k, v in metrics.items():
-                sums[k] = sums.get(k, 0) + np.asarray(v, dtype=np.float64)
+            device_metrics.append(metrics)
             count += 1
             tokens += int(np.prod(batch_np["x_left"].shape)) \
                 + int(np.prod(batch_np["x_right"].shape)) \
                 + int(np.prod(batch_np["negative_samples"].shape))
         if count == 0:
             return {}
+        host_metrics = jax.device_get(device_metrics)
+        sums: Dict[str, np.ndarray] = {}
+        for metrics in host_metrics:
+            for k, v in metrics.items():
+                sums[k] = sums.get(k, 0) + np.asarray(v, dtype=np.float64)
         means = {k: (v / count).tolist() if np.ndim(v) else float(v / count)
                  for k, v in sums.items()}
         elapsed = time.perf_counter() - t0

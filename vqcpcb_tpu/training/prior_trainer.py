@@ -123,6 +123,7 @@ class PriorTrainer:
     def epoch(self, data_loader: Iterator, train: bool,
               num_batches: Optional[int]) -> Dict:
         sums: Dict[str, float] = {}
+        device_metrics = []
         count = 0
         for batch_np in islice(data_loader, num_batches):
             x = mesh_lib.shard_batch(batch_np["x"], self.mesh)
@@ -133,10 +134,11 @@ class PriorTrainer:
             else:
                 metrics = self._eval_step(self.state.params,
                                           self.encoder_variables, x)
-            metrics = jax.device_get(metrics)
+            device_metrics.append(metrics)
+            count += 1
+        for metrics in jax.device_get(device_metrics):
             for k, v in metrics.items():
                 sums[k] = sums.get(k, 0.0) + float(v)
-            count += 1
         return {k: v / count for k, v in sums.items()} if count else {}
 
     def train_model(self, batch_size, num_batches=None, num_epochs=10,

@@ -269,6 +269,7 @@ class StudentEncoderTrainer:
     def epoch(self, data_loader: Iterator, train: bool,
               num_batches: Optional[int], corrupt_labels: bool = False) -> Dict:
         sums: Dict[str, float] = {}
+        device_metrics = []
         count = 0
         tokens = 0
         t0 = time.perf_counter()
@@ -279,13 +280,14 @@ class StudentEncoderTrainer:
                 self.state, metrics = self._train_step(self.state, x, rng)
             else:
                 metrics = self._eval_step(self.state, x, rng)
-            metrics = jax.device_get(metrics)
-            for k, v in metrics.items():
-                sums[k] = sums.get(k, 0.0) + float(v)
+            device_metrics.append(metrics)
             count += 1
             tokens += int(np.prod(batch_np["x"].shape))
         if count == 0:
             return {}
+        for metrics in jax.device_get(device_metrics):
+            for k, v in metrics.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
         means = {k: v / count for k, v in sums.items()}
         means["tokens_per_sec"] = tokens / max(time.perf_counter() - t0, 1e-9)
         return means
