@@ -1,0 +1,143 @@
+"""Generation surfaces of the decoder trainer + misc gated paths."""
+import os
+import pickle
+
+import numpy as np
+import jax
+import pytest
+
+from vqcpcb_tpu import getters
+from vqcpcb_tpu.training.decoder_trainer import (
+    DecoderTrainer,
+    compute_start_end_times,
+)
+
+
+def build_decoder_trainer(tmp_path):
+    enc_config = {
+        "training_method": "vqcpc",
+        "dataset": "synthetic",
+        "corpus_kwargs": dict(num_chorales=5, min_beats=10, max_beats=14, seed=0),
+        "data_processor_type": "bach_cpc",
+        "data_processor_kwargs": dict(embedding_size=16),
+        "downscaler_type": "lstm_downscaler",
+        "downscaler_kwargs": dict(downscale_factors=[16], hidden_size=32,
+                                  num_layers=1, dropout=0.0, bidirectional=True),
+        "quantizer_type": "commitment",
+        "quantizer_kwargs": dict(num_codebooks=1, codebook_size=8,
+                                 codebook_dim=3, commitment_cost=0.25,
+                                 use_batch_norm=False, squared_l2_norm=True),
+        "upscaler_type": None,
+    }
+    cpc_gen = getters.get_dataloader_generator(
+        dataset="synthetic", training_method="vqcpc",
+        dataloader_generator_kwargs=dict(
+            num_tokens_per_block=16, num_blocks_left=3, num_blocks_right=3,
+            negative_sampling_method="same_sequence", num_negative_samples=5),
+        config=enc_config, cache_root=str(tmp_path / "data"))
+    encoder = getters.get_encoder(cpc_gen, enc_config)
+
+    gen = getters.get_dataloader_generator(
+        dataset="synthetic", training_method="decoder",
+        dataloader_generator_kwargs=dict(sequences_size=4),
+        config=enc_config, cache_root=str(tmp_path / "data"))
+    data_processor = getters.get_data_processor(
+        gen, "bach", dict(embedding_size=16))
+    decoder = getters.get_decoder(
+        gen, data_processor, encoder, enc_config,
+        "transformer_relative_diagonal",
+        dict(d_model=32, n_head=2, num_encoder_layers=1, num_decoder_layers=1,
+             dim_feedforward=48, positional_embedding_size=4, dropout=0.0))
+
+    rng = jax.random.PRNGKey(0)
+    x0 = next(gen.dataloaders(batch_size=4)[0])["x"]
+    import jax.numpy as jnp
+    enc_vars = encoder.init(
+        {"params": rng, "dropout": rng, "corrupt": rng, "corrupt_mask": rng},
+        jnp.asarray(x0), training=False)
+    trainer = DecoderTrainer(
+        model_dir=str(tmp_path / "decoder"),
+        dataloader_generator=gen,
+        decoder=decoder,
+        encoder=encoder,
+        encoder_variables={"params": enc_vars["params"]},
+        codebook_size=8, num_codebooks=1)
+    trainer.init_state(x0, lr=1e-3)
+    return trainer, x0
+
+
+def test_generate_seed_excerpt_and_juxtaposition(tmp_path):
+    trainer, _ = build_decoder_trainer(tmp_path)
+    scores = trainer.generate(temperature=1.0, batch_size=2, top_k=0,
+                              top_p=0.9, seed_set="val")
+    assert len(scores) == 4  # originals + generations
+    gen_dir = os.path.join(trainer.model_dir, "generations")
+    assert len(os.listdir(gen_dir)) == 4
+    trainer.generate(temperature=1.0, batch_size=2, top_k=2, top_p=0.0,
+                     seed_set="train", code_juxtaposition=True,
+                     exclude_meta_symbols=True)
+    assert os.path.isdir(os.path.join(trainer.model_dir, "juxtapositions"))
+
+
+def test_generate_alla_mano(tmp_path):
+    trainer, _ = build_decoder_trainer(tmp_path)
+    outs = trainer.generate_alla_mano(
+        start_codes=[0, 1], end_codes=[2, 3], body_codes=[1] * 6,
+        temperature=1.0, num_decodings=2)
+    # 6 body codes * events_per_code(4) events each
+    assert len(outs) == 2
+    assert outs[0].shape == (6 * 4, 4)
+
+
+def test_attention_dump(tmp_path):
+    trainer, x0 = build_decoder_trainer(tmp_path)
+    written = trainer.dump_attention_maps(np.asarray(x0)[:1])
+    assert len(written) >= 1
+    assert all(os.path.exists(w) for w in written)
+
+
+def test_plagiarism_check(tmp_path):
+    trainer, x0 = build_decoder_trainer(tmp_path)
+    x = np.asarray(x0)
+    # a sequence compared to itself is a full-length match
+    n = trainer.check_duplicate(x[0], x[0])
+    assert n > 0
+    best = trainer.check_duplicate_all_corpus(x[0])
+    assert best is not None
+
+
+def test_compute_start_end_times_matches_reference_semantics():
+    # middle, left edge, right edge (reference decoder.py:831-854)
+    assert compute_start_end_times(10, 24, 8) == (6, 14, 4)
+    assert compute_start_end_times(0, 24, 8) == (0, 8, 0)
+    assert compute_start_end_times(2, 24, 8) == (0, 8, 2)
+    assert compute_start_end_times(23, 24, 8) == (16, 24, 7)
+    assert compute_start_end_times(21, 24, 8) == (16, 24, 5)
+
+
+def test_vocab_from_reference_pickle(tmp_path):
+    d = {
+        "index2note_dicts": [{0: "C4", 1: "__"}, {0: "D4", 1: "__"}],
+        "note2index_dicts": [{"C4": 0, "__": 1}, {"D4": 0, "__": 1}],
+        "voice_ranges": [(60, 72), (50, 62)],
+    }
+    path = tmp_path / "chorale_beats_dataset.pkl"
+    with open(path, "wb") as f:
+        pickle.dump(d, f)
+    from vqcpcb_tpu.data.vocab import Vocabulary
+    v = Vocabulary.from_reference_pickle(str(path))
+    assert v.note2index_dicts[0]["C4"] == 0
+    assert v.voice_ranges[1] == (50, 62)
+    assert v.index2note_dicts[1][0] == "D4"
+
+
+def test_music21_corpus_is_cleanly_gated():
+    from vqcpcb_tpu.data.corpora import Music21BachCorpus
+    corpus = Music21BachCorpus()
+    try:
+        import music21  # noqa: F401
+        pytest.skip("music21 installed; gating not exercised")
+    except ImportError:
+        pass
+    with pytest.raises(ImportError):
+        next(iter(corpus))
