@@ -60,8 +60,9 @@ def load_encoder_stack(config, device_init_batch, cache_root=None):
             encoder_variables["params"] = enc_params
             bs = (restored.get("batch_stats")
                   if isinstance(restored, dict) else restored.batch_stats)
-            if bs:
-                encoder_variables["batch_stats"] = bs
+            for coll, tree in (bs or {}).items():
+                if "encoder" in tree:
+                    encoder_variables[coll] = tree["encoder"]
         else:
             print(f"WARNING: no checkpoint found in {model_dir_encoder}; "
                   "using fresh encoder weights")

@@ -145,8 +145,9 @@ def main(train, load, config_path, num_workers, num_epochs):
     else:
         enc_params = jax.device_get(trainer.state.params)["encoder"]
     enc_variables = {"params": enc_params}
-    if trainer.state.batch_stats:
-        enc_variables["batch_stats"] = jax.device_get(trainer.state.batch_stats)
+    for coll, tree in jax.device_get(trainer.state.batch_stats or {}).items():
+        if "encoder" in tree:
+            enc_variables[coll] = tree["encoder"]
 
     def encode_fn(x):
         _, indices, _ = encoder_module.apply(enc_variables, x)

@@ -1,0 +1,25 @@
+"""bf16 compute path: same model, VQCPCB_COMPUTE_DTYPE=bfloat16 — loss close
+to the f32 result, params still f32."""
+import numpy as np
+import jax
+import pytest
+
+from tests.test_decoder import init_decoder, make_decoder
+
+
+def test_bf16_forward_close_to_f32(monkeypatch):
+    decoder = make_decoder()
+    params, source, target = init_decoder(decoder)
+    f32_loss = float(decoder.apply(params, source, target)["loss"])
+
+    monkeypatch.setenv("VQCPCB_COMPUTE_DTYPE", "bfloat16")
+    decoder_bf16 = make_decoder()
+    # same params tree (construction is deterministic given the fields)
+    bf16_loss = float(decoder_bf16.apply(params, source, target)["loss"])
+    assert np.isfinite(bf16_loss)
+    # bf16 has ~3 decimal digits; losses should agree to a few percent
+    assert abs(bf16_loss - f32_loss) / f32_loss < 0.05
+
+    # params are float32 either way
+    leaves = jax.tree.leaves(params)
+    assert all(l.dtype == np.float32 for l in leaves if l.dtype.kind == "f")

@@ -140,3 +140,44 @@ def test_codebook_data_dependent_init(tmp_path):
     # rows are distinct (came from a permutation of distinct latents)
     flat = cb.reshape(-1, cb.shape[-1])
     assert len(np.unique(flat.round(6), axis=0)) > 1
+
+
+def test_ema_quantizer_training(tmp_path):
+    """EMA codebook variant: codebooks move without gradients, loss finite."""
+    config = small_config()
+    config["quantizer_type"] = "ema"
+    trainer = build_trainer(tmp_path, config)
+    train, _, _ = trainer.dataloader_generator.dataloaders(batch_size=16)
+    batch_np = next(train)
+    trainer.init_state(batch_np, lr=1e-3)
+    cb_before = np.asarray(jax.device_get(
+        trainer.state.batch_stats["ema"]["encoder"]["quantizer"]["codebooks"]))
+    batch = mesh_lib.shard_batch(batch_np, trainer.mesh)
+    for _ in range(3):
+        trainer._rng, rng = jax.random.split(trainer._rng)
+        trainer.state, metrics = trainer._train_step(
+            trainer.state, batch, rng, corrupt_labels=False)
+    metrics = jax.device_get(metrics)
+    assert np.isfinite(metrics["loss"])
+    cb_after = np.asarray(jax.device_get(
+        trainer.state.batch_stats["ema"]["encoder"]["quantizer"]["codebooks"]))
+    assert not np.allclose(cb_before, cb_after)
+
+
+def test_multi_codebook_training(tmp_path):
+    """Product quantizer with num_codebooks=2: merged-code monitors respect
+    the 8^2=64 merged vocabulary."""
+    config = small_config()
+    config["quantizer_kwargs"]["num_codebooks"] = 2
+    config["quantizer_kwargs"]["codebook_dim"] = 4
+    trainer = build_trainer(tmp_path, config)
+    train, _, _ = trainer.dataloader_generator.dataloaders(batch_size=16)
+    batch_np = next(train)
+    trainer.init_state(batch_np, lr=1e-3)
+    batch = mesh_lib.shard_batch(batch_np, trainer.mesh)
+    trainer._rng, rng = jax.random.split(trainer._rng)
+    trainer.state, metrics = trainer._train_step(
+        trainer.state, batch, rng, corrupt_labels=False)
+    metrics = jax.device_get(metrics)
+    assert np.isfinite(metrics["loss"])
+    assert 1 <= metrics["num_codewords"] <= 64

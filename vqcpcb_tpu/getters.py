@@ -34,7 +34,11 @@ from vqcpcb_tpu.models.encoder import Encoder
 from vqcpcb_tpu.models.prior import PriorRelative
 from vqcpcb_tpu.models.teacher import TeacherRelative
 from vqcpcb_tpu.models.upscalers import MlpUpscaler
-from vqcpcb_tpu.ops.quantizer import NoQuantization, ProductVectorQuantizer
+from vqcpcb_tpu.ops.quantizer import (
+    EMAProductVectorQuantizer,
+    NoQuantization,
+    ProductVectorQuantizer,
+)
 
 
 def _corpus_from_config(config: Dict):
@@ -147,6 +151,14 @@ def get_quantizer(config: Dict, initialize: bool = True):
             commitment_cost=quantizer_kwargs["commitment_cost"],
             use_batch_norm=quantizer_kwargs["use_batch_norm"],
             squared_l2_norm=quantizer_kwargs["squared_l2_norm"])
+    if config["quantizer_type"] == "ema":
+        # EMA codebook updates (BASELINE.json north star; not in the reference)
+        return EMAProductVectorQuantizer(
+            codebook_size=quantizer_kwargs["codebook_size"],
+            num_codebooks=quantizer_kwargs["num_codebooks"],
+            codebook_dim=quantizer_kwargs["codebook_dim"],
+            commitment_cost=quantizer_kwargs["commitment_cost"],
+            ema_decay=quantizer_kwargs.get("ema_decay", 0.99))
     if config["quantizer_type"] is None:
         return NoQuantization(codebook_dim=quantizer_kwargs["codebook_dim"])
     raise NotImplementedError(config["quantizer_type"])

@@ -21,6 +21,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from vqcpcb_tpu.ops import compute_dtype
 from vqcpcb_tpu.ops.relative_attention import (
     subsampled_relative_bias,
     subsampled_relative_bias_row,
@@ -52,11 +53,13 @@ class MultiheadAttention(nn.Module):
             features=3 * self.embed_dim,
             kernel_init=nn.initializers.xavier_uniform(),
             bias_init=nn.initializers.zeros,
+            dtype=compute_dtype(),
             name="in_proj")
         self.out_proj = nn.DenseGeneral(
             features=self.embed_dim,
             kernel_init=nn.initializers.xavier_uniform(),
             bias_init=nn.initializers.zeros,
+            dtype=compute_dtype(),
             name="out_proj")
         if self.attention_bias_type is None:
             self.e1 = None

@@ -141,6 +141,80 @@ class ProductVectorQuantizer(nn.Module):
         return quantized_sg, encoding_indices, loss
 
 
+class EMAProductVectorQuantizer(nn.Module):
+    """Product VQ with exponential-moving-average codebook updates
+    (van den Oord et al. 2017 appendix; the BASELINE.json north star names
+    "EMA/commitment updates" — the reference implements only the commitment
+    variant, vector_quantizer.py:72-83).
+
+    The codebook is a mutable 'ema' collection, not a gradient parameter: on
+    each training forward the per-code counts and input sums are folded in
+    with decay `ema_decay` and the codewords re-normalised with Laplace
+    smoothing. Only the e-latent (commitment) term contributes to the loss.
+    """
+    codebook_size: int
+    codebook_dim: int
+    commitment_cost: float
+    num_codebooks: int
+    ema_decay: float = 0.99
+    epsilon: float = 1e-5
+
+    def setup(self):
+        assert self.codebook_dim % self.num_codebooks == 0
+        sub_dim = self.codebook_dim // self.num_codebooks
+        shape = (self.num_codebooks, self.codebook_size, sub_dim)
+        self.codebooks = self.variable(
+            "ema", "codebooks",
+            lambda: jax.random.normal(self.make_rng("params"), shape) * 4.0)
+        self.cluster_size = self.variable(
+            "ema", "cluster_size",
+            lambda: jnp.zeros((self.num_codebooks, self.codebook_size)))
+        self.ema_sums = self.variable(
+            "ema", "ema_sums", lambda: jnp.zeros(shape))
+
+    def __call__(self, inputs, training: bool = False,
+                 corrupt_labels: bool = False):
+        input_shape = inputs.shape
+        flat = inputs.reshape(-1, self.codebook_dim)
+        n = flat.shape[0]
+        sub_dim = self.codebook_dim // self.num_codebooks
+        x = flat.reshape(n, self.num_codebooks, sub_dim)
+        e = self.codebooks.value
+
+        from vqcpcb_tpu.ops.pallas_vq import nearest_codebook_indices
+        indices = nearest_codebook_indices(
+            jax.lax.stop_gradient(x), jax.lax.stop_gradient(e))
+
+        one_hot = jax.nn.one_hot(indices, self.codebook_size,
+                                 dtype=jnp.float32)           # (n, K, S)
+        quantized = jnp.einsum("nks,ksd->nkd", one_hot, e,
+                               preferred_element_type=jnp.float32)
+        quantized = quantized.reshape(n, self.codebook_dim).astype(inputs.dtype)
+
+        if training and not self.is_initializing():
+            counts = jnp.einsum("nks->ks", one_hot)
+            sums = jnp.einsum("nks,nkd->ksd", one_hot,
+                              jax.lax.stop_gradient(x).astype(jnp.float32))
+            d = self.ema_decay
+            new_cluster = d * self.cluster_size.value + (1 - d) * counts
+            new_sums = d * self.ema_sums.value + (1 - d) * sums
+            total = new_cluster.sum(axis=1, keepdims=True)
+            smoothed = ((new_cluster + self.epsilon)
+                        / (total + self.codebook_size * self.epsilon) * total)
+            self.cluster_size.value = new_cluster
+            self.ema_sums.value = new_sums
+            self.codebooks.value = new_sums / smoothed[..., None]
+
+        e_latent = jnp.sum(
+            (jax.lax.stop_gradient(quantized) - flat) ** 2, axis=-1)
+        loss = self.commitment_cost * e_latent
+
+        quantized_sg = flat + jax.lax.stop_gradient(quantized - flat)
+        return (quantized_sg.reshape(input_shape),
+                indices.reshape(input_shape[:-1] + (self.num_codebooks,)),
+                loss.reshape(input_shape[:-1]))
+
+
 class NoQuantization(nn.Module):
     """Pass-through variant (reference: vector_quantizer.py:15-24)."""
     codebook_dim: int

@@ -17,6 +17,7 @@ from typing import List, Optional, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
+from vqcpcb_tpu.ops import compute_dtype
 from vqcpcb_tpu.ops.attention import MultiheadAttention
 
 
@@ -36,10 +37,10 @@ class FeedForward(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, training: bool = False) -> jnp.ndarray:
-        h = nn.Dense(self.dim_feedforward, name="linear1")(x)
+        h = nn.Dense(self.dim_feedforward, dtype=compute_dtype(), name="linear1")(x)
         h = _activation(self.activation)(h)
         h = nn.Dropout(rate=self.dropout)(h, deterministic=not training)
-        return nn.Dense(self.d_model, name="linear2")(h)
+        return nn.Dense(self.d_model, dtype=compute_dtype(), name="linear2")(h)
 
 
 class TransformerEncoderLayer(nn.Module):
@@ -67,11 +68,11 @@ class TransformerEncoderLayer(nn.Module):
             name="self_attn",
         )(src, src, src, attn_mask=src_mask, training=training)
         src = src + nn.Dropout(rate=self.dropout)(src2, deterministic=not training)
-        src = nn.LayerNorm(name="norm1")(src)
+        src = nn.LayerNorm(dtype=jnp.float32, name="norm1")(src)
         src2 = FeedForward(self.d_model, self.dim_feedforward, self.dropout,
                            self.activation, name="ff")(src, training=training)
         src = src + nn.Dropout(rate=self.dropout)(src2, deterministic=not training)
-        src = nn.LayerNorm(name="norm2")(src)
+        src = nn.LayerNorm(dtype=jnp.float32, name="norm2")(src)
         return src, {"a_self_encoder": a_self}
 
 
@@ -142,9 +143,9 @@ class TransformerDecoderLayer(nn.Module):
             dropout=self.dropout)
         self.ff = FeedForward(self.d_model, self.dim_feedforward, self.dropout,
                               self.activation)
-        self.norm1 = nn.LayerNorm()
-        self.norm2 = nn.LayerNorm()
-        self.norm3 = nn.LayerNorm()
+        self.norm1 = nn.LayerNorm(dtype=jnp.float32)
+        self.norm2 = nn.LayerNorm(dtype=jnp.float32)
+        self.norm3 = nn.LayerNorm(dtype=jnp.float32)
         self.drop1 = nn.Dropout(rate=self.dropout)
         self.drop2 = nn.Dropout(rate=self.dropout)
         self.drop3 = nn.Dropout(rate=self.dropout)
@@ -217,9 +218,9 @@ class TransformerAlignedDecoderLayer(nn.Module):
         self.cross_mlp_2 = nn.Dense(self.d_model * self.num_channels_decoder)
         self.ff = FeedForward(self.d_model, self.dim_feedforward, self.dropout,
                               self.activation)
-        self.norm1 = nn.LayerNorm()
-        self.norm2 = nn.LayerNorm()
-        self.norm3 = nn.LayerNorm()
+        self.norm1 = nn.LayerNorm(dtype=jnp.float32)
+        self.norm2 = nn.LayerNorm(dtype=jnp.float32)
+        self.norm3 = nn.LayerNorm(dtype=jnp.float32)
         self.drop1 = nn.Dropout(rate=self.dropout)
         self.drop2 = nn.Dropout(rate=self.dropout)
         self.drop3 = nn.Dropout(rate=self.dropout)

@@ -103,16 +103,28 @@ class DecoderTrainer:
         self._encode_codes = encode_codes
 
         def make_train_step(tx):
+            # VQCPCB_REMAT=1 rematerialises the decoder forward in the
+            # backward pass — trades FLOPs for HBM on deep/scale-up configs
+            # (SURVEY.md §7 guiding decision: jax.checkpoint for memory)
+            import os
+            use_remat = os.environ.get("VQCPCB_REMAT") == "1"
+
+            def apply_loss(params, codes, x, rng):
+                out = decoder.apply(
+                    {"params": params}, codes, x, training=True,
+                    rngs={"dropout": rng})
+                return out["loss"], out["monitored_quantities"]
+
+            if use_remat:
+                apply_loss = jax.checkpoint(apply_loss)
+
             @functools.partial(jax.jit, donate_argnums=(0,))
             def train_step(state: TrainState, encoder_variables, x, rng):
                 codes = encode_codes(encoder_variables, x)
                 codes = jax.lax.stop_gradient(codes)
 
                 def loss_fn(params):
-                    out = decoder.apply(
-                        {"params": params}, codes, x, training=True,
-                        rngs={"dropout": rng})
-                    return out["loss"], out["monitored_quantities"]
+                    return apply_loss(params, codes, x, rng)
 
                 (loss, metrics), grads = jax.value_and_grad(
                     loss_fn, has_aux=True)(state.params)

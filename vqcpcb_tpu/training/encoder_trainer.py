@@ -24,7 +24,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from vqcpcb_tpu.models.cpc import VQCPCModel
-from vqcpcb_tpu.ops.quantizer import ProductVectorQuantizer, initialize_codebooks
+from vqcpcb_tpu.ops.quantizer import (
+    EMAProductVectorQuantizer,
+    ProductVectorQuantizer,
+    initialize_codebooks,
+)
 from vqcpcb_tpu.parallel import mesh as mesh_lib
 from vqcpcb_tpu.training import checkpoints
 from vqcpcb_tpu.training.metrics import MetricsWriter
@@ -69,26 +73,42 @@ class VQCPCEncoderTrainer:
              "corrupt": init_rng, "corrupt_mask": init_rng},
             batch, training=False)
         params = variables["params"]
-        batch_stats = dict(variables.get("batch_stats", {}))
+        # all non-param variable collections (batch_stats for BatchNorm, ema
+        # for the EMA quantizer) live in state.batch_stats keyed by collection
+        batch_stats = {k: dict(v) for k, v in variables.items()
+                       if k != "params"}
 
         quantizer = self.model.encoder.quantizer
-        if initialize and isinstance(quantizer, ProductVectorQuantizer):
+        if initialize and isinstance(
+                quantizer, (ProductVectorQuantizer, EMAProductVectorQuantizer)):
             neg = batch["negative_samples"]
             b, n, k, ticks, voices = neg.shape
             flat_tokens = neg.reshape(b * n * k, ticks, voices)
             z = self.model.apply(
-                {"params": params, "batch_stats": batch_stats},
+                {"params": params, **batch_stats},
                 flat_tokens,
                 method=lambda m, x: m.encoder.downscale(x))
             flat_z = z.reshape(-1, quantizer.codebook_dim)
             codebooks = initialize_codebooks(
                 cb_rng, flat_z, quantizer.num_codebooks, quantizer.codebook_size)
-            params = dict(params)
-            encoder_params = dict(params["encoder"])
-            quant_params = dict(encoder_params["quantizer"])
-            quant_params["codebooks"] = codebooks
-            encoder_params["quantizer"] = quant_params
-            params["encoder"] = encoder_params
+            if isinstance(quantizer, EMAProductVectorQuantizer):
+                ema = dict(batch_stats["ema"])
+                enc = dict(ema["encoder"])
+                quant = dict(enc["quantizer"])
+                quant["codebooks"] = codebooks
+                # distinct buffer: aliased leaves break jit donation
+                quant["ema_sums"] = jnp.array(codebooks, copy=True)
+                quant["cluster_size"] = jnp.ones_like(quant["cluster_size"])
+                enc["quantizer"] = quant
+                ema["encoder"] = enc
+                batch_stats["ema"] = ema
+            else:
+                params = dict(params)
+                encoder_params = dict(params["encoder"])
+                quant_params = dict(encoder_params["quantizer"])
+                quant_params["codebooks"] = codebooks
+                encoder_params["quantizer"] = quant_params
+                params["encoder"] = encoder_params
 
         self.tx = make_optimizer(lr, schedule_lr)
         opt_state = self.tx.init(params)
@@ -117,11 +137,8 @@ class VQCPCEncoderTrainer:
         tx = self.tx
 
         def forward(params, batch_stats, batch, rng, training, corrupt_labels):
-            variables = {"params": params}
-            mutable = False
-            if batch_stats:
-                variables["batch_stats"] = batch_stats
-                mutable = ["batch_stats"] if training else False
+            variables = {"params": params, **batch_stats}
+            mutable = list(batch_stats.keys()) if (training and batch_stats) else False
             rngs = dict(zip(("dropout", "corrupt", "corrupt_mask"),
                             jax.random.split(rng, 3)))
             out = model.apply(variables, batch, training=training,
@@ -129,7 +146,9 @@ class VQCPCEncoderTrainer:
                               mutable=mutable)
             if mutable:
                 (loss, metrics), new_vars = out
-                return loss, (metrics, dict(new_vars.get("batch_stats", {})))
+                new_stats = {k: dict(new_vars.get(k, batch_stats[k]))
+                             for k in batch_stats}
+                return loss, (metrics, new_stats)
             loss, metrics = out
             return loss, (metrics, batch_stats)
 
@@ -270,9 +289,7 @@ class VQCPCEncoderTrainer:
 
     def encode(self, x: np.ndarray):
         """x tokens -> (z_quantized, encoding_indices, q_loss), jitted."""
-        variables = {"params": self.state.params}
-        if self.state.batch_stats:
-            variables["batch_stats"] = self.state.batch_stats
+        variables = {"params": self.state.params, **self.state.batch_stats}
         return jax.jit(
             lambda v, xx: self.model.apply(
                 v, xx, method=lambda m, inp: m.encoder(inp))

@@ -137,7 +137,8 @@ class StudentEncoderTrainer:
                 {"encoder": params["encoder"],
                  "auxiliary_decoder": params["auxiliary_decoder"]}),
         }
-        batch_stats = dict(enc_vars.get("batch_stats", {}))
+        batch_stats = {k: dict(v) for k, v in enc_vars.items()
+                       if k != "params"}
         rep = mesh_lib.replicated(self.mesh)
         state = TrainState(params=params, opt_state=opt_state,
                            batch_stats=batch_stats, step=0)
@@ -175,18 +176,17 @@ class StudentEncoderTrainer:
                 return loss, logits
 
             def encdec_loss(ep, teacher_logits):
-                variables = {"params": ep["encoder"]}
-                mutable = False
-                if batch_stats:
-                    variables["batch_stats"] = batch_stats
-                    mutable = ["batch_stats"] if training else False
+                variables = {"params": ep["encoder"], **batch_stats}
+                mutable = (list(batch_stats.keys())
+                           if (training and batch_stats) else False)
                 out = encoder.apply(
                     variables, x, training=training,
                     rngs={"dropout": rng_d2, "corrupt": rng_d2,
                           "corrupt_mask": rng_d2}, mutable=mutable)
                 if mutable:
                     (z, _, qloss), new_vars = out
-                    new_bs = dict(new_vars.get("batch_stats", {}))
+                    new_bs = {k: dict(new_vars.get(k, batch_stats[k]))
+                              for k in batch_stats}
                 else:
                     z, _, qloss = out
                     new_bs = batch_stats
