@@ -119,3 +119,42 @@ def test_no_quantization_passthrough():
     assert idx is None
     np.testing.assert_array_equal(np.asarray(out), np.asarray(x))
     np.testing.assert_array_equal(np.asarray(loss), np.zeros((2, 3)))
+
+
+def test_batch_norm_variant():
+    """BatchNorm affects only the NN search; STE/loss use raw inputs.
+    Running stats update when training."""
+    q = make_quantizer(use_batch_norm=True)
+    x = jnp.asarray(np.random.RandomState(7).randn(4, 16, 4).astype(np.float32))
+    variables = q.init(jax.random.PRNGKey(0), x)
+    assert "batch_stats" in variables
+    (out, idx, loss), new_vars = q.apply(
+        variables, x, training=True, mutable=["batch_stats"])
+    assert np.isfinite(np.asarray(loss)).all()
+    # STE passthrough still based on raw inputs
+    g = jax.grad(lambda xx: q.apply(variables, xx, training=False)[0].sum())(x)
+    np.testing.assert_allclose(np.asarray(g), np.ones_like(np.asarray(g)),
+                               rtol=1e-6)
+    # running stats moved
+    before = np.asarray(variables["batch_stats"]["batch_norm"]["mean"])
+    after = np.asarray(new_vars["batch_stats"]["batch_norm"]["mean"])
+    assert not np.allclose(before, after)
+
+
+def test_ema_quantizer_unit():
+    from vqcpcb_tpu.ops.quantizer import EMAProductVectorQuantizer
+    q = EMAProductVectorQuantizer(codebook_size=4, codebook_dim=4,
+                                  commitment_cost=0.25, num_codebooks=2)
+    x = jnp.asarray(np.random.RandomState(8).randn(2, 8, 4).astype(np.float32))
+    variables = q.init({"params": jax.random.PRNGKey(0)}, x)
+    (out, idx, loss), new_vars = q.apply(
+        variables, x, training=True, mutable=["ema"])
+    assert idx.shape == (2, 8, 2)
+    assert np.isfinite(np.asarray(loss)).all()
+    # codebooks moved toward data without gradients
+    b = np.asarray(variables["ema"]["codebooks"])
+    a = np.asarray(new_vars["ema"]["codebooks"])
+    assert not np.allclose(a, b)
+    # eval does not mutate
+    out2 = q.apply(variables, x, training=False)
+    assert len(out2) == 3

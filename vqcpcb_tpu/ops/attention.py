@@ -119,6 +119,17 @@ class MultiheadAttention(nn.Module):
         q = self.project_q(query)
         k, v = self.project_kv(key)
 
+        # opt-in fused Pallas path for inference (no dropout, no grad, no
+        # attention-weight output): scores never leave VMEM
+        if not training:
+            from vqcpcb_tpu.ops.pallas_attention import (
+                fused_attention, use_pallas_attention)
+            if use_pallas_attention():
+                out = fused_attention(q, k, v, attn_mask, self.e1, self.e2)
+                b, h, t, d = out.shape
+                out = out.transpose(0, 2, 1, 3).reshape(b, t, h * d)
+                return self.out_proj(out.astype(query.dtype)), None
+
         scores = jnp.einsum("bhtd,bhsd->bhts", q, k,
                             preferred_element_type=jnp.float32)
         if attn_mask is not None:
