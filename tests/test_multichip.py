@@ -24,22 +24,17 @@ def test_data_parallel_loss_matches_single_device(tmp_path):
     batch_np = next(train)
     trainer.init_state(batch_np, lr=1e-3)
 
+    variables = {"params": trainer.state.params, **trainer.state.batch_stats}
     batch_sharded = mesh_lib.shard_batch(batch_np, trainer.mesh)
-    single_mesh = mesh_lib.make_mesh(devices=jax.devices()[:1])
-    batch_single = mesh_lib.shard_batch(batch_np, single_mesh)
+    loss8, _ = trainer.model.apply(variables, batch_sharded, training=False)
 
-    def loss_of(batch):
-        variables = {"params": trainer.state.params}
-        if trainer.state.batch_stats:
-            variables["batch_stats"] = trainer.state.batch_stats
-        loss, _ = trainer.model.apply(
-            variables, {k: jnp.asarray(v) for k, v in batch.items()},
-            training=False)
-        return float(jax.device_get(loss))
+    # single device: everything on host -> default device
+    host_vars = jax.device_get(variables)
+    host_batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+    loss1, _ = trainer.model.apply(host_vars, host_batch, training=False)
 
-    l8 = loss_of(batch_sharded)
-    l1 = loss_of(batch_single)
-    np.testing.assert_allclose(l8, l1, rtol=1e-5)
+    np.testing.assert_allclose(float(jax.device_get(loss8)),
+                               float(jax.device_get(loss1)), rtol=1e-5)
 
 
 def test_tp_sharding_rules_applied():
