@@ -1,0 +1,72 @@
+"""Benchmark: decoder training step throughput at the default geometry
+(relative AC/D/C decoder, d_model 512, 3+3 layers, batch x 384 tokens).
+
+Regression guard for the relative-bias skew implementation: a gather-based
+bias made the backward scatter-bound (~7 s/step on v5e); the pad/reshape
+skew keeps it matmul-bound.
+
+Run: python scripts/bench_decoder_train.py
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from __graft_entry__ import _flagship_decoder
+
+    batch = int(os.environ.get("BENCH_DEC_BATCH", "32"))
+    steps = int(os.environ.get("BENCH_DEC_STEPS", "20"))
+    decoder = _flagship_decoder()
+    rng = np.random.RandomState(0)
+    source = jnp.asarray(rng.randint(0, 16, size=(batch, 24)))
+    target = jnp.asarray(rng.randint(0, 62, size=(batch, 96, 4)))
+    params = decoder.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        source, target)["params"]
+    tx = optax.chain(optax.clip_by_global_norm(5.0), optax.adam(1e-4))
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state, source, target, rng):
+        def loss_fn(p):
+            return decoder.apply({"params": p}, source, target,
+                                 training=True, rngs={"dropout": rng})["loss"]
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = jax.tree.map(lambda a, b: a + b, params, updates)
+        return params, opt_state, loss
+
+    key = jax.random.PRNGKey(0)
+    for _ in range(3):
+        key, sub = jax.random.split(key)
+        params, opt_state, loss = step(params, opt_state, source, target, sub)
+    jax.block_until_ready(loss)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        key, sub = jax.random.split(key)
+        params, opt_state, loss = step(params, opt_state, source, target, sub)
+    jax.block_until_ready(loss)
+    elapsed = time.perf_counter() - t0
+    tokens = batch * 96 * 4 * steps
+    print(json.dumps({
+        "decoder_train_tokens_per_sec": round(tokens / elapsed, 1),
+        "steps_per_sec": round(steps / elapsed, 3),
+        "ms_per_step": round(1000 * elapsed / steps, 1),
+        "batch": batch,
+        "loss": round(float(jax.device_get(loss)), 4),
+        "device": jax.devices()[0].platform,
+    }))
+
+
+if __name__ == "__main__":
+    main()

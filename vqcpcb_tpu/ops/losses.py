@@ -75,8 +75,11 @@ def categorical_crossentropy(value: Sequence[jnp.ndarray],
     for c, logits in enumerate(value):
         logits = logits.astype(jnp.float32)
         logp = jax.nn.log_softmax(logits, axis=-1)
-        tgt_c = target[..., c]
-        nll = -jnp.take_along_axis(logp, tgt_c[..., None], axis=-1)[..., 0]
+        # one-hot contraction rather than take_along_axis: the gather's
+        # transpose is an XLA scatter, which TPUs execute serially
+        one_hot = jax.nn.one_hot(target[..., c], logits.shape[-1],
+                                 dtype=jnp.float32)
+        nll = -(logp * one_hot).sum(axis=-1)
         m = mask[..., c]
         total = total + (nll * m).sum()
         d = m.sum()

@@ -42,6 +42,28 @@ def relative_bias_index_maps(seq_len_src: int, seq_len_tgt: int
     return idx1.astype(np.int32), valid1, idx2.astype(np.int32), valid2
 
 
+def _skew(r: jnp.ndarray, seq_len_src: int, seq_len_tgt: int,
+          pad_front: bool) -> jnp.ndarray:
+    """The reference's pad-and-reshape skew, vectorised over leading dims.
+
+    r: (..., tgt, src) -> (..., tgt, src). Chosen over a take_along_axis
+    gather because the gather's *transpose* is an XLA scatter-add — orders of
+    magnitude slower on TPU in the backward pass — while concat/reshape/slice
+    transpose to slice/reshape/pad."""
+    t, s = seq_len_tgt, seq_len_src
+    lead = r.shape[:-2]
+    a = r.reshape(lead + (s, t))                  # flat reinterpretation
+    pad_col = jnp.zeros(lead + (s, 1), r.dtype)
+    a = (jnp.concatenate([pad_col, a], axis=-1) if pad_front
+         else jnp.concatenate([a, pad_col], axis=-1))
+    bottom = t - s
+    if bottom:
+        a = jnp.concatenate(
+            [a, jnp.zeros(lead + (bottom, t + 1), r.dtype)], axis=-2)
+    a = a.reshape(lead + (-1, s))
+    return a[..., 1:1 + t, :] if pad_front else a[..., :t, :]
+
+
 def subsampled_relative_bias(q: jnp.ndarray,
                              e1: jnp.ndarray,
                              e2: jnp.ndarray) -> jnp.ndarray:
@@ -60,17 +82,17 @@ def subsampled_relative_bias(q: jnp.ndarray,
     """
     num_heads, seq_len_src, head_dim = e1.shape
     seq_len_tgt = q.shape[2]
-    idx1, valid1, idx2, valid2 = relative_bias_index_maps(seq_len_src, seq_len_tgt)
+    ratio = seq_len_tgt // seq_len_src
 
     r1 = jnp.einsum("bhtd,hmd->bhtm", q, e1)
     r2 = jnp.einsum("bhtd,hmd->bhtm", q, e2)
+    a1 = _skew(r1, seq_len_src, seq_len_tgt, pad_front=True)
+    a2 = _skew(r2, seq_len_src, seq_len_tgt, pad_front=False)
 
-    idx1 = jnp.asarray(idx1)[None, None]
-    idx2 = jnp.asarray(idx2)[None, None]
-    bias1 = jnp.take_along_axis(r1, jnp.broadcast_to(idx1, r1.shape[:2] + idx1.shape[2:]), axis=-1)
-    bias2 = jnp.take_along_axis(r2, jnp.broadcast_to(idx2, r2.shape[:2] + idx2.shape[2:]), axis=-1)
-    bias = jnp.where(jnp.asarray(valid1)[None, None], bias1, 0.0) + \
-        jnp.where(jnp.asarray(valid2)[None, None], bias2, 0.0)
+    rows = jnp.arange(seq_len_tgt)[:, None] // ratio
+    cols = jnp.arange(seq_len_src)[None, :]
+    bias = jnp.where((cols <= rows)[None, None], a1, 0.0) + \
+        jnp.where((cols > rows)[None, None], a2, 0.0)
     return bias
 
 
