@@ -147,3 +147,44 @@ def test_gru_matches_torch():
     got = np.asarray(jg.apply({"params": p}, jnp.asarray(x)))
     want = tg(torch.tensor(x))[0].detach().numpy()
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_trapezoid_schedule():
+    """Warmup 10k steps 0.1x->1x, decay at a tenth of the warmup slope,
+    floored at 0.1x (reference vqcpc_encoder_trainer.py:95-107)."""
+    from vqcpcb_tpu.training.optim import trapezoid_schedule
+    sched = trapezoid_schedule(1e-3)
+    np.testing.assert_allclose(float(sched(0)), 1e-4, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(10_000)), 1e-3, rtol=1e-4)
+    np.testing.assert_allclose(float(sched(5_000)), 1e-3 * 0.55, rtol=1e-4)
+    # decay after warmup, 10x slower
+    np.testing.assert_allclose(float(sched(20_000)),
+                               1e-3 * (1 - 0.9 / 10), rtol=1e-4)
+    # floor
+    assert abs(float(sched(10_000_000)) - 1e-4) < 1e-9
+
+
+def test_optimizer_clips_gradients():
+    import optax
+    from vqcpcb_tpu.training.optim import make_optimizer
+    tx = make_optimizer(1.0)
+    params = {"w": jnp.zeros(3)}
+    grads = {"w": jnp.asarray([30.0, 40.0, 0.0])}  # norm 50 -> clip to 5
+    state = tx.init(params)
+    updates, _ = tx.update(grads, state, params)
+    # adam normalises magnitude, but the clipped grad direction survives
+    assert np.isfinite(np.asarray(updates["w"])).all()
+
+
+def test_metrics_writer_jsonl(tmp_path):
+    import json
+    from vqcpcb_tpu.training.metrics import MetricsWriter
+    w = MetricsWriter(str(tmp_path), plot=False)
+    w.write(0, {"loss": 1.5, "accuracy": [0.1, 0.2]}, {"loss": 2.0})
+    w.write(1, {"loss": 1.2, "accuracy": [0.3, 0.4]}, None)
+    lines = [json.loads(l) for l in
+             (tmp_path / "metrics.jsonl").read_text().splitlines()]
+    assert lines[0]["loss/train"] == 1.5
+    assert lines[0]["accuracy_1/train"] == 0.2
+    assert lines[0]["loss/val"] == 2.0
+    assert lines[1]["epoch"] == 1

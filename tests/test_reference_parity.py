@@ -1,0 +1,113 @@
+"""Cross-framework parity: a reference (PyTorch) encoder's weights imported
+into the flax Encoder must produce the SAME z and bit-matching codebook
+indices on the same token batch (BASELINE.json target).
+
+The reference modules are instantiated from /root/reference (read-only, with
+a music21 stub since only model classes are exercised) with random torch
+weights — no reference code is copied; it is executed as the oracle.
+"""
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REFERENCE = "/root/reference"
+
+
+@pytest.fixture(scope="module")
+def reference_modules(tmp_path_factory):
+    torch = pytest.importorskip("torch")
+    if not os.path.isdir(REFERENCE):
+        pytest.skip("reference not mounted")
+    stub_dir = tmp_path_factory.mktemp("m21stub")
+    (stub_dir / "music21").mkdir()
+    (stub_dir / "music21" / "__init__.py").write_text(
+        "class _Any:\n"
+        "    def __getattr__(self, name): return _Any()\n"
+        "    def __call__(self, *a, **k): return _Any()\n"
+        "note = _Any(); interval = _Any(); corpus = _Any(); stream = _Any()\n"
+        "duration = _Any(); instrument = _Any(); harmony = _Any()\n"
+        "expressions = _Any()\n")
+    sys.path.insert(0, str(stub_dir))
+    sys.path.insert(0, REFERENCE)
+    yield
+    sys.path.remove(str(stub_dir))
+    sys.path.remove(REFERENCE)
+
+
+def test_imported_reference_encoder_bit_matches(reference_modules):
+    import torch
+    from VQCPCB.data_processor.bach_cpc_data_processor import BachCPCDataProcessor
+    from VQCPCB.downscalers.lstm_downscaler import LstmDownscaler
+    from VQCPCB.quantizer.vector_quantizer import ProductVectorQuantizer
+    from VQCPCB.upscalers.mlp_upscaler import MlpUpscaler
+    from VQCPCB.encoder import Encoder as RefEncoder
+
+    torch.manual_seed(0)
+    vocab = [11, 13, 9, 12]
+    tpb = 16
+    ref_dp = BachCPCDataProcessor(
+        embedding_size=8, num_events=24, num_channels=4,
+        num_tokens_per_channel=vocab, num_tokens_per_block=tpb)
+    ref_ds = LstmDownscaler(
+        input_dim=8, output_dim=3, num_channels=4, downscale_factors=[tpb],
+        hidden_size=12, num_layers=2, dropout=0.0, bidirectional=True)
+    ref_q = ProductVectorQuantizer(
+        codebook_size=8, codebook_dim=3, commitment_cost=0.25,
+        num_codebooks=1, use_batch_norm=False, initialize=False,
+        squared_l2_norm=True)
+    ref_up = MlpUpscaler(input_dim=3, output_dim=8, hidden_size=12, dropout=0.0)
+    ref_encoder = RefEncoder(model_dir="/tmp/ref", data_processor=ref_dp,
+                             downscaler=ref_ds, quantizer=ref_q,
+                             upscaler=ref_up)
+    ref_encoder.eval()
+
+    rng = np.random.RandomState(0)
+    x = rng.randint(0, 9, size=(4, 24, 4))
+    with torch.no_grad():
+        z_ref, idx_ref, qloss_ref = ref_encoder(torch.from_numpy(x).long())
+
+    # ---- import into the flax encoder ----------------------------------------
+    import jax
+    import jax.numpy as jnp
+
+    from vqcpcb_tpu.models.data_processor import BachCPCDataProcessor as DP
+    from vqcpcb_tpu.models.downscalers import GruDownscaler
+    from vqcpcb_tpu.models.encoder import Encoder
+    from vqcpcb_tpu.models.upscalers import MlpUpscaler as Up
+    from vqcpcb_tpu.ops.quantizer import ProductVectorQuantizer as Q
+    from vqcpcb_tpu.training.import_reference import import_encoder_state_dicts
+
+    encoder = Encoder(
+        data_processor=DP(embedding_size=8, num_events=24,
+                          num_tokens_per_channel=vocab,
+                          num_tokens_per_block=tpb),
+        downscaler=GruDownscaler(output_dim=3, downscale_factors=[tpb],
+                                 hidden_size=12, num_layers=2, dropout=0.0,
+                                 bidirectional=True),
+        quantizer=Q(codebook_size=8, codebook_dim=3, commitment_cost=0.25,
+                    num_codebooks=1),
+        upscaler=Up(output_dim=8, hidden_size=12, dropout=0.0))
+
+    params = import_encoder_state_dicts(
+        ref_dp.state_dict(), ref_ds.state_dict(), ref_q.state_dict(),
+        ref_up.state_dict(), num_layers_gru=2, bidirectional=True)
+    # shape check against a fresh init
+    init = encoder.init({"params": jax.random.PRNGKey(0),
+                         "dropout": jax.random.PRNGKey(0)},
+                        jnp.asarray(x), training=False)["params"]
+    jax.tree.map(lambda a, b: None if a.shape == b.shape else
+                 (_ for _ in ()).throw(AssertionError((a.shape, b.shape))),
+                 init, jax.tree.map(jnp.asarray, params))
+
+    z, idx, qloss = encoder.apply({"params": params}, jnp.asarray(x))
+
+    # bit-matching codebook indices
+    np.testing.assert_array_equal(np.asarray(idx)[..., 0],
+                                  idx_ref[..., 0].numpy())
+    # z within float tolerance
+    np.testing.assert_allclose(np.asarray(z), z_ref.numpy(),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(qloss), qloss_ref.numpy(),
+                               rtol=2e-4, atol=2e-5)

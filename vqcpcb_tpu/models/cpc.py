@@ -14,6 +14,7 @@ from __future__ import annotations
 from typing import Dict, Optional, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from vqcpcb_tpu.models.encoder import Encoder, merge_codes
@@ -158,7 +159,7 @@ class VQCPCModel(nn.Module):
                 pos = merge_codes(
                     jnp.concatenate([idx_left, idx_right], axis=0),
                     quant.codebook_size).reshape(-1)
-                hist = jnp.zeros((merged_vocab,), jnp.int32).at[pos].add(1)
+                hist = _histogram(pos, merged_vocab)
                 metrics["num_codewords"] = (hist > 0).sum()
                 p = hist / jnp.maximum(hist.sum(), 1)
                 entropy = -jnp.sum(jnp.where(p > 0, p * jnp.log(p), 0.0))
@@ -166,10 +167,11 @@ class VQCPCModel(nn.Module):
                 neg = merge_codes(
                     idx_neg.reshape(-1, idx_neg.shape[-1])[None],
                     quant.codebook_size).reshape(-1)
-                metrics["num_codewords_negative"] = _count_unique(neg, merged_vocab)
+                metrics["num_codewords_negative"] = \
+                    (_histogram(neg, merged_vocab) > 0).sum()
         return loss, metrics
 
 
-def _count_unique(indices: jnp.ndarray, vocab: int) -> jnp.ndarray:
-    hist = jnp.zeros((vocab,), jnp.int32).at[indices].add(1)
-    return (hist > 0).sum()
+def _histogram(indices: jnp.ndarray, vocab: int) -> jnp.ndarray:
+    """One-hot reduction rather than scatter-add (TPU scatters serialize)."""
+    return jax.nn.one_hot(indices, vocab, dtype=jnp.float32).sum(axis=0)
