@@ -162,3 +162,16 @@ def test_golden_window_dataset():
     fingerprint = (int(w.shape[0]), int(w.sum()), int(w[0].sum()),
                    int(w[-1].sum()))
     assert fingerprint == GOLDEN_FINGERPRINT, fingerprint
+
+
+def test_prefetch_iterator():
+    from vqcpcb_tpu.data.prefetch import prefetch
+    assert list(prefetch(iter(range(10)))) == list(range(10))
+
+    def boom():
+        yield 1
+        raise ValueError("x")
+    it = prefetch(boom())
+    assert next(it) == 1
+    with pytest.raises(ValueError):
+        next(it)

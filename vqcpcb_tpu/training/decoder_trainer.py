@@ -195,7 +195,8 @@ class DecoderTrainer:
         count = 0
         tokens = 0
         t0 = time.perf_counter()
-        for batch_np in islice(data_loader, num_batches):
+        from vqcpcb_tpu.data.prefetch import prefetch
+        for batch_np in prefetch(islice(data_loader, num_batches)):
             x = mesh_lib.shard_batch(batch_np["x"], self.mesh)
             if train:
                 self._rng, rng = jax.random.split(self._rng)

@@ -187,7 +187,8 @@ class VQCPCEncoderTrainer:
         count = 0
         tokens = 0
         t0 = time.perf_counter()
-        for batch_np in islice(data_loader, num_batches):
+        from vqcpcb_tpu.data.prefetch import prefetch
+        for batch_np in prefetch(islice(data_loader, num_batches)):
             batch = mesh_lib.shard_batch(batch_np, self.mesh)
             self._rng, step_rng = jax.random.split(self._rng)
             if train:
