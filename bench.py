@@ -36,6 +36,7 @@ def main():
     num_neg = 15
     vocab = 62
     batch_size = int(os.environ.get("BENCH_BATCH_SIZE", "16"))
+    gru_hidden = int(os.environ.get("BENCH_GRU_HIDDEN", "512"))
     num_steps = int(os.environ.get("BENCH_STEPS", "100"))
     warmup = int(os.environ.get("BENCH_WARMUP", "5"))
     ticks_lr = num_blocks * num_tokens_per_block // 4
@@ -49,14 +50,15 @@ def main():
         data_processor=data_processor,
         downscaler=GruDownscaler(
             output_dim=3, downscale_factors=[num_tokens_per_block],
-            hidden_size=512, num_layers=2, dropout=0.1, bidirectional=True),
+            hidden_size=gru_hidden, num_layers=2, dropout=0.1,
+            bidirectional=True),
         quantizer=ProductVectorQuantizer(
             codebook_size=32, codebook_dim=3, commitment_cost=0.25,
             num_codebooks=1),
         upscaler=MlpUpscaler(output_dim=32, hidden_size=512, dropout=0.1))
     model = VQCPCModel(
         encoder=encoder,
-        c_module=CModule(hidden_size=512, output_dim=32, num_layers=2,
+        c_module=CModule(hidden_size=gru_hidden, output_dim=32, num_layers=2,
                          dropout=0.1),
         fks_module=FksModule(z_dim=32, c_dim=32, k_max=num_blocks),
         quantization_weighting=0.5)
