@@ -188,3 +188,24 @@ def test_metrics_writer_jsonl(tmp_path):
     assert lines[0]["accuracy_1/train"] == 0.2
     assert lines[0]["loss/val"] == 2.0
     assert lines[1]["epoch"] == 1
+
+
+def test_bigru_matches_two_unidirectional_grus():
+    """BiGRU's fused direction-stacked scan equals running two independent
+    GRUs (forward on x, backward on reversed x) with the same weights."""
+    from vqcpcb_tpu.ops.gru import GRU, BiGRU
+    rng = np.random.RandomState(9)
+    b, t, inp, hid, layers = 3, 6, 5, 4, 2
+    x = jnp.asarray(rng.randn(b, t, inp).astype(np.float32))
+
+    bi = BiGRU(hidden_size=hid, num_layers=layers)
+    bi_params = bi.init(jax.random.PRNGKey(0), x)["params"]
+    got = np.asarray(bi.apply({"params": bi_params}, x))
+
+    uni = GRU(hidden_size=hid, num_layers=layers)
+    outs = []
+    for d, xx in enumerate([x, x[:, ::-1]]):
+        p = {k: v[d] for k, v in bi_params.items()}
+        outs.append(np.asarray(uni.apply({"params": p}, xx))[:, -1])
+    want = np.concatenate(outs, axis=-1)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)

@@ -18,7 +18,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np
 
-from vqcpcb_tpu.ops.gru import GRU
+from vqcpcb_tpu.ops.gru import GRU, BiGRU
 from vqcpcb_tpu.ops.transformer import TransformerEncoder
 
 
@@ -46,16 +46,16 @@ class GruDownscaler(nn.Module):
         num_blocks = seq_len // block
         x = inputs.reshape(b * num_blocks, block, dim)
 
-        fwd = GRU(hidden_size=self.hidden_size, num_layers=self.num_layers,
-                  dropout=self.dropout, name="g_enc_fwd")
-        z_fwd = fwd(x, deterministic=not training)[:, -1]
         if self.bidirectional:
-            bwd = GRU(hidden_size=self.hidden_size, num_layers=self.num_layers,
-                      dropout=self.dropout, name="g_enc_bwd")
-            z_bwd = bwd(x[:, ::-1], deterministic=not training)[:, -1]
-            z = jnp.concatenate([z_fwd, z_bwd], axis=-1)
+            # fused direction-stacked scan (ops/gru.py BiGRU): same math as
+            # the reference's two independent GRUs, half the sequential steps
+            z = BiGRU(hidden_size=self.hidden_size, num_layers=self.num_layers,
+                      dropout=self.dropout, name="bigru")(
+                          x, deterministic=not training)
         else:
-            z = z_fwd
+            fwd = GRU(hidden_size=self.hidden_size, num_layers=self.num_layers,
+                      dropout=self.dropout, name="g_enc_fwd")
+            z = fwd(x, deterministic=not training)[:, -1]
         z = nn.Dense(self.output_dim, name="output_linear")(z)
         return z.reshape(b, num_blocks, self.output_dim)
 

@@ -73,3 +73,66 @@ class GRU(nn.Module):
         h0 = jnp.zeros((batch, h), dtype=jnp.float32)
         _, out = jax.lax.scan(step, h0, jnp.swapaxes(x_proj, 0, 1))
         return jnp.swapaxes(out, 0, 1)
+
+
+class BiGRU(nn.Module):
+    """Two independent multi-layer GRUs (forward on x, backward on reversed x
+    — the reference's 'bidirectional' downscaler, lstm_downscaler.py:40-52)
+    fused into ONE scan with direction-stacked weights: halves the number of
+    sequential recurrence steps by doubling each step's matmul batch, which
+    is exactly what the MXU wants.
+
+    Params per layer: w_i (2, in, 3h), w_h (2, h, 3h), b_i/b_h (2, 3h) —
+    direction 0 = forward, 1 = backward. Returns the concatenated last
+    hidden states (batch, 2h).
+    """
+    hidden_size: int
+    num_layers: int = 1
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        """x: (batch, time, input_dim) -> (batch, 2*hidden_size)."""
+        h = self.hidden_size
+        scale = 1.0 / jnp.sqrt(h)
+
+        def uniform_init(key, shape, dtype=jnp.float32):
+            return jax.random.uniform(key, shape, dtype, -scale, scale)
+
+        x_stack = jnp.stack([x, x[:, ::-1]], axis=0)       # (2, N, T, in)
+        batch, time = x.shape[0], x.shape[1]
+        h_last = None
+        for layer in range(self.num_layers):
+            input_dim = x_stack.shape[-1]
+            w_i = self.param(f"layer_{layer}_w_i", uniform_init,
+                             (2, input_dim, 3 * h))
+            w_h = self.param(f"layer_{layer}_w_h", uniform_init, (2, h, 3 * h))
+            b_i = self.param(f"layer_{layer}_b_i", uniform_init, (2, 3 * h))
+            b_h = self.param(f"layer_{layer}_b_h", uniform_init, (2, 3 * h))
+
+            x_proj = jnp.einsum("dnti,dih->dnth", x_stack.astype(self.dtype),
+                                w_i.astype(self.dtype)) + b_i[:, None, None]
+            x_proj = x_proj.astype(jnp.float32)
+
+            def step(h_prev, x_t):
+                # one batched matmul across both directions per time step
+                h_proj = jnp.einsum("dnh,dhk->dnk", h_prev,
+                                    w_h.astype(jnp.float32)) + b_h[:, None]
+                xr, xz, xn = jnp.split(x_t, 3, axis=-1)
+                hr, hz, hn = jnp.split(h_proj, 3, axis=-1)
+                r = jax.nn.sigmoid(xr + hr)
+                z = jax.nn.sigmoid(xz + hz)
+                n = jnp.tanh(xn + r * hn)
+                h_new = (1.0 - z) * n + z * h_prev
+                return h_new, h_new
+
+            h0 = jnp.zeros((2, batch, h), dtype=jnp.float32)
+            h_last, out = jax.lax.scan(step, h0,
+                                       jnp.moveaxis(x_proj, 2, 0))
+            x_stack = jnp.moveaxis(out, 0, 2)              # (2, N, T, h)
+            if self.dropout > 0.0 and layer < self.num_layers - 1:
+                x_stack = nn.Dropout(rate=self.dropout)(
+                    x_stack, deterministic=deterministic)
+
+        return jnp.concatenate([h_last[0], h_last[1]], axis=-1)

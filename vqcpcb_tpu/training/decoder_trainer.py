@@ -196,8 +196,12 @@ class DecoderTrainer:
         tokens = 0
         t0 = time.perf_counter()
         from vqcpcb_tpu.data.prefetch import prefetch
-        for batch_np in prefetch(islice(data_loader, num_batches)):
-            x = mesh_lib.shard_batch(batch_np["x"], self.mesh)
+        # shard/transfer inside the prefetch thread so host->device
+        # copies overlap device compute
+        sharded = (
+            (b, mesh_lib.shard_batch(b["x"], self.mesh))
+            for b in islice(data_loader, num_batches))
+        for batch_np, x in prefetch(sharded):
             if train:
                 self._rng, rng = jax.random.split(self._rng)
                 self.state, metrics = self._train_step(

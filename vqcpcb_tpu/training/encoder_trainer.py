@@ -188,8 +188,12 @@ class VQCPCEncoderTrainer:
         tokens = 0
         t0 = time.perf_counter()
         from vqcpcb_tpu.data.prefetch import prefetch
-        for batch_np in prefetch(islice(data_loader, num_batches)):
-            batch = mesh_lib.shard_batch(batch_np, self.mesh)
+        # shard/transfer inside the prefetch thread so host->device
+        # copies overlap device compute
+        sharded = (
+            (b, mesh_lib.shard_batch(b, self.mesh))
+            for b in islice(data_loader, num_batches))
+        for batch_np, batch in prefetch(sharded):
             self._rng, step_rng = jax.random.split(self._rng)
             if train:
                 self.state, metrics = self._train_step(

@@ -57,10 +57,16 @@ def import_encoder_state_dicts(data_processor_sd: Dict,
         c += 1
     params["data_processor"] = dp
 
-    # GRU downscaler (reference lstm_downscaler.py)
-    ds = {"g_enc_fwd": import_gru(downscaler_sd, "g_enc_fwd.", num_layers_gru)}
+    # GRU downscaler (reference lstm_downscaler.py). The bidirectional case
+    # maps onto the fused BiGRU's direction-stacked params (ops/gru.py).
     if bidirectional:
-        ds["g_enc_bwd"] = import_gru(downscaler_sd, "g_enc_bwd.", num_layers_gru)
+        fwd = import_gru(downscaler_sd, "g_enc_fwd.", num_layers_gru)
+        bwd = import_gru(downscaler_sd, "g_enc_bwd.", num_layers_gru)
+        bigru = {k: np.stack([fwd[k], bwd[k]], axis=0) for k in fwd}
+        ds = {"bigru": bigru}
+    else:
+        ds = {"g_enc_fwd": import_gru(downscaler_sd, "g_enc_fwd.",
+                                      num_layers_gru)}
     ds["output_linear"] = import_dense(downscaler_sd, "output_linear.")
     params["downscaler"] = ds
 
