@@ -16,7 +16,7 @@ bit-stream), as documented in SURVEY.md §7 "Host pipeline determinism".
 from __future__ import annotations
 
 import json
-from typing import Dict, Iterator, Optional, Tuple
+from typing import Iterator, Tuple
 
 import numpy as np
 

@@ -10,7 +10,7 @@ job), `embed` batches all channels through their tables in one pass.
 """
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp

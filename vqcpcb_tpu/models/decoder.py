@@ -12,13 +12,13 @@ Reference semantics: VQCPCB/decoders/decoder.py —
     cross-attention anticausal/diagonal/full (reference :484-506)
   * per-channel CE loss (reference :522-534)
 
-The autoregressive sampler lives in vqcpcb_tpu/models/sampler.py as a
-KV-cached lax.scan (replacing the reference's full O(L^2) forward per sampled
-token, decoder.py:777).
+The autoregressive sampler is `Decoder.sample_range` below: a KV-cached
+lax.scan (replacing the reference's full O(L^2) forward per sampled token,
+decoder.py:777).
 """
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import Dict
 
 import flax.linen as nn
 import jax

@@ -15,7 +15,6 @@ inside the scan. Gate order and update equations match torch.nn.GRU:
 """
 from __future__ import annotations
 
-from typing import Optional
 
 import flax.linen as nn
 import jax
@@ -56,12 +55,18 @@ class GRU(nn.Module):
         b_i = self.param(f"{name}_b_i", uniform_init, (3 * h,))
         b_h = self.param(f"{name}_b_h", uniform_init, (3 * h,))
 
+        from vqcpcb_tpu.ops import compute_dtype
+        cdt = compute_dtype() or self.dtype
+
         # One big MXU matmul over the whole sequence.
-        x_proj = jnp.einsum("bti,ih->bth", x.astype(self.dtype), w_i.astype(self.dtype)) + b_i
+        x_proj = jnp.einsum("bti,ih->bth", x.astype(cdt), w_i.astype(cdt),
+                            preferred_element_type=jnp.float32) + b_i
         x_proj = x_proj.astype(jnp.float32)
+        w_h_c = w_h.astype(cdt)
 
         def step(h_prev, x_t):
-            h_proj = (h_prev @ w_h.astype(jnp.float32)) + b_h
+            h_proj = jnp.dot(h_prev.astype(cdt), w_h_c,
+                             preferred_element_type=jnp.float32) + b_h
             xr, xz, xn = jnp.split(x_t, 3, axis=-1)
             hr, hz, hn = jnp.split(h_proj, 3, axis=-1)
             r = jax.nn.sigmoid(xr + hr)
@@ -111,14 +116,21 @@ class BiGRU(nn.Module):
             b_i = self.param(f"layer_{layer}_b_i", uniform_init, (2, 3 * h))
             b_h = self.param(f"layer_{layer}_b_h", uniform_init, (2, 3 * h))
 
-            x_proj = jnp.einsum("dnti,dih->dnth", x_stack.astype(self.dtype),
-                                w_i.astype(self.dtype)) + b_i[:, None, None]
+            from vqcpcb_tpu.ops import compute_dtype
+            cdt = compute_dtype() or self.dtype
+
+            x_proj = jnp.einsum("dnti,dih->dnth", x_stack.astype(cdt),
+                                w_i.astype(cdt),
+                                preferred_element_type=jnp.float32
+                                ) + b_i[:, None, None]
             x_proj = x_proj.astype(jnp.float32)
+            w_h_c = w_h.astype(cdt)
 
             def step(h_prev, x_t):
                 # one batched matmul across both directions per time step
-                h_proj = jnp.einsum("dnh,dhk->dnk", h_prev,
-                                    w_h.astype(jnp.float32)) + b_h[:, None]
+                h_proj = jnp.einsum("dnh,dhk->dnk", h_prev.astype(cdt), w_h_c,
+                                    preferred_element_type=jnp.float32
+                                    ) + b_h[:, None]
                 xr, xz, xn = jnp.split(x_t, 3, axis=-1)
                 hr, hz, hn = jnp.split(h_proj, 3, axis=-1)
                 r = jax.nn.sigmoid(xr + hr)

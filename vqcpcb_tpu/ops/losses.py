@@ -6,7 +6,7 @@ cleanly and reduce deterministically on TPU.
 """
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp

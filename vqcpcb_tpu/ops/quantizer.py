@@ -19,7 +19,7 @@ the codebook flow through a one-hot matmul, identical math to the reference).
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax

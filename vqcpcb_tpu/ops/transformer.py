@@ -12,7 +12,7 @@ maps straight onto the MXU.
 """
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -13,7 +13,6 @@ then spans all processes and the same annotations ride DCN across hosts.
 from __future__ import annotations
 
 import re
-from typing import Optional
 
 import jax
 import numpy as np
