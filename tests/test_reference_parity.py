@@ -111,3 +111,86 @@ def test_imported_reference_encoder_bit_matches(reference_modules):
                                rtol=2e-4, atol=2e-5)
     np.testing.assert_allclose(np.asarray(qloss), qloss_ref.numpy(),
                                rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("cross", ["anticausal", "diagonal", "full"])
+def test_imported_reference_decoder_matches(reference_modules, cross):
+    """The full relative transformer (masks, skewed biases, aligned layer)
+    validated end-to-end: a randomly-initialized REFERENCE decoder and the
+    imported flax decoder produce the same per-channel logits and loss."""
+    import torch
+    from VQCPCB.decoders.decoder import Decoder as RefDecoder
+
+    class StubDownscaler:
+        downscale_factors = [16]
+
+    class StubQuant(torch.nn.Module):
+        codebook_size = 5   # matches tests.test_decoder.CODE_VOCAB
+        num_codebooks = 1
+        codebook_dim = 3
+
+    class StubEncoder(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.downscaler = StubDownscaler()
+            self.quantizer = StubQuant()
+
+    vocab = [7, 9, 6, 8]
+
+    class StubDP(torch.nn.Module):
+        num_tokens_per_channel = vocab
+        num_tokens = 32
+        num_events = 8
+        num_channels = 4
+        embedding_size = 12
+
+        def __init__(self):
+            super().__init__()
+            self.embeddings = torch.nn.ModuleList(
+                [torch.nn.Embedding(v + 1, 12) for v in vocab])
+
+        def preprocess(self, x):
+            return x.long()
+
+        def embed(self, x):
+            return torch.cat(
+                [emb(t) for t, emb in zip(x.split(1, dim=-1), self.embeddings)],
+                dim=-2)
+
+    torch.manual_seed(1)
+    ref = RefDecoder(
+        model_dir="/tmp/x", dataloader_generator=None, data_processor=StubDP(),
+        encoder=StubEncoder(), transformer_type="relative",
+        encoder_attention_type="anticausal", cross_attention_type=cross,
+        d_model=32, num_encoder_layers=2, num_decoder_layers=2, n_head=2,
+        dim_feedforward=48, positional_embedding_size=4,
+        num_channels_encoder=1, num_events_encoder=2,
+        num_channels_decoder=4, num_events_decoder=8, dropout=0.0)
+    ref.eval()
+
+    rng = np.random.RandomState(0)
+    source = rng.randint(0, 5, size=(3, 2))
+    target = np.stack([rng.randint(0, v, size=(3, 8)) for v in vocab], axis=-1)
+    with torch.no_grad():
+        out_ref = ref.forward(torch.from_numpy(source).long(),
+                              torch.from_numpy(target).long())
+
+    import jax
+    import jax.numpy as jnp
+
+    from tests.test_decoder import make_decoder
+    from vqcpcb_tpu.training.import_reference import import_decoder_state_dict
+
+    decoder = make_decoder("relative", cross, "anticausal")
+    params = import_decoder_state_dict(
+        ref.state_dict(), num_heads=2, num_encoder_layers=2,
+        num_decoder_layers=2, aligned_cross=(cross == "diagonal"))
+    out = decoder.apply({"params": params}, jnp.asarray(source),
+                        jnp.asarray(target))
+
+    for c in range(4):
+        np.testing.assert_allclose(
+            np.asarray(out["weights_per_category"][c]),
+            out_ref["weights_per_category"][c].numpy(), rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(float(out["loss"]),
+                               float(out_ref["loss"]), rtol=1e-4)

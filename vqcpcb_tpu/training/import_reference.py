@@ -87,6 +87,108 @@ def import_encoder_state_dicts(data_processor_sd: Dict,
     return params
 
 
+def _import_relative_mha(sd: Dict, prefix: str, num_heads: int) -> Dict:
+    """MultiheadAttentionCustom state -> ops.attention.MultiheadAttention
+    params. e1/e2 are stored heads-major flattened (H*S, hd)
+    (reference subsampled_relative_attention.py:20-21)."""
+    out = {
+        "in_proj": {"kernel": _t(sd[f"{prefix}in_proj_weight"]).T,
+                    "bias": _t(sd[f"{prefix}in_proj_bias"])},
+        "out_proj": import_dense(sd, f"{prefix}out_proj."),
+    }
+    e1_key = f"{prefix}attn_bias.e1"
+    if e1_key in sd:
+        e1 = _t(sd[e1_key])
+        hs, hd = e1.shape
+        s = hs // num_heads
+        out["rel_e1"] = e1.reshape(num_heads, s, hd)
+        out["rel_e2"] = _t(sd[f"{prefix}attn_bias.e2"]).reshape(num_heads, s, hd)
+    return out
+
+
+def _import_layernorm(sd: Dict, prefix: str) -> Dict:
+    return {"scale": _t(sd[f"{prefix}weight"]), "bias": _t(sd[f"{prefix}bias"])}
+
+
+def _import_ff(sd: Dict, prefix: str) -> Dict:
+    return {"linear1": import_dense(sd, f"{prefix}linear1."),
+            "linear2": import_dense(sd, f"{prefix}linear2.")}
+
+
+def import_decoder_state_dict(sd: Dict,
+                              num_heads: int,
+                              num_encoder_layers: int,
+                              num_decoder_layers: int,
+                              aligned_cross: bool,
+                              transformer_type: str = "relative") -> Dict:
+    """Reference Decoder state_dict (decoders/decoder.py, saved whole at
+    :274-282) -> flax Decoder 'params' tree. The frozen 'encoder.*' entries
+    are ignored (import those with import_encoder_state_dicts)."""
+    params: Dict = {
+        "sos": _t(sd["sos"]),
+        "linear_target": import_dense(sd, "linear_target."),
+    }
+    if "source_embeddings.weight" in sd and "source_embeddings.bias" not in sd:
+        params["source_embeddings"] = {
+            "embedding": _t(sd["source_embeddings.weight"])}
+    else:  # NoQuantization: a Linear source map (reference decoder.py:229)
+        params["source_embeddings"] = import_dense(sd, "source_embeddings.")
+    if transformer_type == "relative":
+        params["target_channel_embeddings"] = _t(sd["target_channel_embeddings"])
+        params["target_events_positioning_embeddings"] = _t(
+            sd["target_events_positioning_embeddings"])
+    else:
+        params["source_positional_embeddings"] = _t(
+            sd["source_positional_embeddings"])
+        params["target_positional_embeddings"] = _t(
+            sd["target_positional_embeddings"])
+
+    # data processor (target embeddings; submodule of the reference Decoder)
+    dp = {}
+    c = 0
+    while f"data_processor.embeddings.{c}.weight" in sd:
+        dp[f"embed_{c}"] = {
+            "embedding": _t(sd[f"data_processor.embeddings.{c}.weight"])}
+        c += 1
+    params["data_processor"] = dp
+
+    enc = {}
+    for i in range(num_encoder_layers):
+        p = f"transformer.encoder.layers.{i}."
+        enc[f"layer_{i}"] = {
+            "self_attn": _import_relative_mha(sd, f"{p}self_attn.", num_heads),
+            "norm1": _import_layernorm(sd, f"{p}norm1."),
+            "norm2": _import_layernorm(sd, f"{p}norm2."),
+            "ff": _import_ff(sd, p),
+        }
+    params["encoder_transformer"] = enc
+
+    dec = {}
+    for i in range(num_decoder_layers):
+        p = f"transformer.decoder.layers.{i}."
+        layer = {
+            "self_attn": _import_relative_mha(sd, f"{p}self_attn.", num_heads),
+            "norm1": _import_layernorm(sd, f"{p}norm1."),
+            "norm2": _import_layernorm(sd, f"{p}norm2."),
+            "norm3": _import_layernorm(sd, f"{p}norm3."),
+            "ff": _import_ff(sd, p),
+        }
+        if aligned_cross:
+            layer["cross_mlp_1"] = import_dense(sd, f"{p}cross_attn.0.")
+            layer["cross_mlp_2"] = import_dense(sd, f"{p}cross_attn.2.")
+        else:
+            layer["multihead_attn"] = _import_relative_mha(
+                sd, f"{p}multihead_attn.", num_heads)
+        dec[f"layer_{i}"] = layer
+    params["decoder_transformer"] = dec
+
+    c = 0
+    while f"pre_softmaxes.{c}.weight" in sd:
+        params[f"pre_softmax_{c}"] = import_dense(sd, f"pre_softmaxes.{c}.")
+        c += 1
+    return params
+
+
 def load_reference_encoder_params(model_dir: str,
                                   early_stopped: bool,
                                   num_layers_gru: int = 2,
