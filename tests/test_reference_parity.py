@@ -194,3 +194,119 @@ def test_imported_reference_decoder_matches(reference_modules, cross):
             out_ref["weights_per_category"][c].numpy(), rtol=2e-3, atol=2e-4)
     np.testing.assert_allclose(float(out["loss"]),
                                float(out_ref["loss"]), rtol=1e-4)
+
+
+def test_imported_reference_prior_matches(reference_modules):
+    """PriorRelative parity: same code-LM logits and loss after import."""
+    import torch
+    from VQCPCB.priors.prior_relative import PriorRelative as RefPrior
+
+    class StubDownscaler:
+        downscale_factors = [16]
+
+    class StubQuant(torch.nn.Module):
+        codebook_size = 8
+        num_codebooks = 1
+        codebook_dim = 3
+
+    class StubEncoder(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.downscaler = StubDownscaler()
+            self.quantizer = StubQuant()
+
+    torch.manual_seed(2)
+    ref = RefPrior(model_dir="/tmp/x", dataloader_generator=None,
+                   encoder=StubEncoder(), d_model=32, num_layers=2, n_head=2,
+                   dim_feedforward=48, embedding_size=8, num_channels=1,
+                   num_events=6, dropout=0.0)
+    ref.eval()
+    rng = np.random.RandomState(0)
+    x = rng.randint(0, 8, size=(3, 6))
+    with torch.no_grad():
+        out_ref = ref.forward(torch.from_numpy(x).long())
+
+    import jax.numpy as jnp
+
+    from vqcpcb_tpu.models.prior import PriorRelative
+    from vqcpcb_tpu.training.import_reference import import_prior_state_dict
+
+    prior = PriorRelative(code_vocab_size=8, d_model=32, num_layers=2,
+                          n_head=2, dim_feedforward=48, embedding_size=8,
+                          num_channels=1, num_events=6, dropout=0.0)
+    params = import_prior_state_dict(ref.state_dict(), num_heads=2,
+                                     num_layers=2)
+    out = prior.apply({"params": params}, jnp.asarray(x))
+    np.testing.assert_allclose(
+        np.asarray(out["weights_per_category"][0]),
+        out_ref["weights_per_category"][0].numpy(), rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(float(out["loss"]), float(out_ref["loss"]),
+                               rtol=1e-4)
+
+
+def test_imported_reference_teacher_and_aux_decoder_match(reference_modules):
+    """Student-stack parity: teacher masked-LM logits and auxiliary-decoder
+    logits match after import."""
+    import torch
+    from VQCPCB.teachers.teacher_relative import TeacherRelative as RefTeacher
+    from VQCPCB.auxiliary_decoders.auxiliary_decoder_relative import (
+        AuxiliaryDecoderRelative as RefAux)
+    from VQCPCB.data_processor.bach_data_processor import BachDataProcessor
+
+    vocab = [7, 9, 6, 8]
+    torch.manual_seed(3)
+    ref_dp = BachDataProcessor(embedding_size=12, num_events=8,
+                               num_tokens_per_channel=vocab)
+    ref_teacher = RefTeacher(
+        data_processor=ref_dp, num_layers=2, num_tokens_per_channel=vocab,
+        positional_embedding_size=4, d_model=32, dim_feedforward=48,
+        n_head=2, num_tokens=32, dropout=0.0)
+    ref_teacher.eval()
+    ref_aux = RefAux(num_tokens_per_channel=vocab, codebook_dim=3,
+                     upscale_factors=[4, 2], list_of_num_layers=[1, 1],
+                     n_head=2, d_model=32, dim_feedforward=48,
+                     num_tokens_bottleneck=4, dropout=0.0)
+    ref_aux.eval()
+
+    rng = np.random.RandomState(0)
+    x = np.stack([rng.randint(0, v, size=(3, 8)) for v in vocab], axis=-1)
+    z = rng.randn(3, 4, 3).astype(np.float32)
+    with torch.no_grad():
+        emb = ref_dp.embed(torch.from_numpy(x).long())
+        teacher_ref = ref_teacher(emb)
+        aux_ref = ref_aux(torch.from_numpy(z))
+
+    import jax.numpy as jnp
+
+    from vqcpcb_tpu.models.auxiliary_decoder import AuxiliaryDecoderRelative
+    from vqcpcb_tpu.models.data_processor import BachDataProcessor as DP
+    from vqcpcb_tpu.models.teacher import TeacherRelative
+    from vqcpcb_tpu.training.import_reference import (
+        import_auxiliary_decoder_state_dict,
+        import_teacher_state_dict,
+    )
+
+    dp = DP(embedding_size=12, num_events=8, num_tokens_per_channel=vocab)
+    teacher = TeacherRelative(
+        data_processor=dp, num_layers=2, num_tokens_per_channel=vocab,
+        positional_embedding_size=4, d_model=32, dim_feedforward=48,
+        n_head=2, num_tokens=32, dropout=0.0)
+    t_params, dp_params = import_teacher_state_dict(
+        ref_teacher.state_dict(), num_heads=2, num_layers=2)
+    emb_j = dp.apply({"params": dp_params}, jnp.asarray(x))
+    teacher_out = teacher.apply({"params": t_params}, emb_j)
+    for c in range(4):
+        np.testing.assert_allclose(np.asarray(teacher_out[c]),
+                                   teacher_ref[c].numpy(),
+                                   rtol=2e-3, atol=2e-4)
+
+    aux = AuxiliaryDecoderRelative(
+        num_tokens_per_channel=vocab, codebook_dim=3, upscale_factors=[4, 2],
+        list_of_num_layers=[1, 1], n_head=2, d_model=32, dim_feedforward=48,
+        num_tokens_bottleneck=4, dropout=0.0)
+    a_params = import_auxiliary_decoder_state_dict(
+        ref_aux.state_dict(), num_heads=2, list_of_num_layers=[1, 1])
+    aux_out = aux.apply({"params": a_params}, jnp.asarray(z))
+    for c in range(4):
+        np.testing.assert_allclose(np.asarray(aux_out[c]),
+                                   aux_ref[c].numpy(), rtol=2e-3, atol=2e-4)

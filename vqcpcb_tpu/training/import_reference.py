@@ -189,6 +189,85 @@ def import_decoder_state_dict(sd: Dict,
     return params
 
 
+def import_prior_state_dict(sd: Dict, num_heads: int, num_layers: int) -> Dict:
+    """Reference PriorRelative state_dict (priors/prior_relative.py, saved
+    whole at :109-113) -> flax PriorRelative 'params' tree."""
+    params: Dict = {
+        "sos": _t(sd["sos"]),
+        "embedding": {"embedding": _t(sd["embedding.weight"])},
+        "linear": import_dense(sd, "linear."),
+        "pre_softmax": import_dense(sd, "pre_softmaxes.0."),
+    }
+    enc = {}
+    for i in range(num_layers):
+        p = f"transformer.layers.{i}."
+        enc[f"layer_{i}"] = {
+            "self_attn": _import_relative_mha(sd, f"{p}self_attn.", num_heads),
+            "norm1": _import_layernorm(sd, f"{p}norm1."),
+            "norm2": _import_layernorm(sd, f"{p}norm2."),
+            "ff": _import_ff(sd, p),
+        }
+    params["transformer"] = enc
+    return params
+
+
+def import_teacher_state_dict(sd: Dict, num_heads: int, num_layers: int
+                              ) -> Dict:
+    """Reference TeacherRelative state_dict -> (teacher params,
+    teacher data-processor params) for the student trainer's param groups."""
+    params: Dict = {
+        "channel_embeddings": _t(sd["channel_embeddings"]),
+        "linear_to_input_transformer": import_dense(
+            sd, "linear_to_input_transformer."),
+    }
+    enc = {}
+    for i in range(num_layers):
+        p = f"transformer.layers.{i}."
+        enc[f"layer_{i}"] = {
+            "self_attn": _import_relative_mha(sd, f"{p}self_attn.", num_heads),
+            "norm1": _import_layernorm(sd, f"{p}norm1."),
+            "norm2": _import_layernorm(sd, f"{p}norm2."),
+            "ff": _import_ff(sd, p),
+        }
+    params["transformer"] = enc
+    c = 0
+    while f"pre_softmaxes.{c}.weight" in sd:
+        params[f"pre_softmax_{c}"] = import_dense(sd, f"pre_softmaxes.{c}.")
+        c += 1
+    dp = {}
+    c = 0
+    while f"data_processor.embeddings.{c}.weight" in sd:
+        dp[f"embed_{c}"] = {
+            "embedding": _t(sd[f"data_processor.embeddings.{c}.weight"])}
+        c += 1
+    return params, dp
+
+
+def import_auxiliary_decoder_state_dict(sd: Dict, num_heads: int,
+                                        list_of_num_layers) -> Dict:
+    """Reference AuxiliaryDecoderRelative state_dict -> flax
+    AuxiliaryDecoderRelative 'params' tree."""
+    params: Dict = {"linear": import_dense(sd, "linear.")}
+    for i, num_layers in enumerate(list_of_num_layers):
+        params[f"upscale_embeddings_{i}"] = _t(sd[f"upscale_embeddings.{i}"])
+        stage = {}
+        for j in range(num_layers):
+            p = f"transformers.{i}.layers.{j}."
+            stage[f"layer_{j}"] = {
+                "self_attn": _import_relative_mha(sd, f"{p}self_attn.",
+                                                  num_heads),
+                "norm1": _import_layernorm(sd, f"{p}norm1."),
+                "norm2": _import_layernorm(sd, f"{p}norm2."),
+                "ff": _import_ff(sd, p),
+            }
+        params[f"transformer_{i}"] = stage
+    c = 0
+    while f"pre_softmaxes.{c}.weight" in sd:
+        params[f"pre_softmax_{c}"] = import_dense(sd, f"pre_softmaxes.{c}.")
+        c += 1
+    return params
+
+
 def load_reference_encoder_params(model_dir: str,
                                   early_stopped: bool,
                                   num_layers_gru: int = 2,
