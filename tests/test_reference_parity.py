@@ -310,3 +310,47 @@ def test_imported_reference_teacher_and_aux_decoder_match(reference_modules):
     for c in range(4):
         np.testing.assert_allclose(np.asarray(aux_out[c]),
                                    aux_ref[c].numpy(), rtol=2e-3, atol=2e-4)
+
+
+@pytest.mark.parametrize("linear_agg", [False, True])
+def test_imported_reference_transformer_downscaler_matches(reference_modules,
+                                                           linear_agg):
+    """Transformer-downscaler encoders also bit-match after import."""
+    import torch
+    if linear_agg:
+        from VQCPCB.downscalers.relative_transformer_downscaler_linear import (
+            RelativeTransformerDownscalerLinear as RefDS)
+    else:
+        from VQCPCB.downscalers.relative_transformer_downscaler import (
+            RelativeTransformerDownscaler as RefDS)
+
+    torch.manual_seed(4)
+    ref_ds = RefDS(input_dim=12, output_dim=3, num_channels=4,
+                   downscale_factors=[4, 4], d_model=32, n_head=2,
+                   list_of_num_layers=[1, 1], dim_feedforward=48, dropout=0.0)
+    ref_ds.eval()
+    rng = np.random.RandomState(0)
+    x = rng.randn(3, 32, 12).astype(np.float32)   # 2 blocks of 16 tokens
+    with torch.no_grad():
+        z_ref = ref_ds(torch.from_numpy(x))
+
+    import jax.numpy as jnp
+
+    from vqcpcb_tpu.models.downscalers import (
+        RelativeTransformerDownscaler,
+        RelativeTransformerDownscalerLinear,
+    )
+    from vqcpcb_tpu.training.import_reference import (
+        import_transformer_downscaler)
+
+    cls = (RelativeTransformerDownscalerLinear if linear_agg
+           else RelativeTransformerDownscaler)
+    ds = cls(output_dim=3, downscale_factors=[4, 4], num_channels=4,
+             d_model=32, n_head=2, list_of_num_layers=[1, 1],
+             dim_feedforward=48, dropout=0.0)
+    params = import_transformer_downscaler(
+        ref_ds.state_dict(), num_heads=2, list_of_num_layers=[1, 1],
+        linear_aggregation=linear_agg)
+    z = ds.apply({"params": params}, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(z), z_ref.numpy(),
+                               rtol=2e-3, atol=2e-4)

@@ -39,14 +39,49 @@ def import_dense(state_dict: Dict, prefix: str) -> Dict:
             "bias": _t(state_dict[f"{prefix}bias"])}
 
 
+def import_transformer_downscaler(downscaler_sd: Dict,
+                                  num_heads: int,
+                                  list_of_num_layers,
+                                  linear_aggregation: bool) -> Dict:
+    """Reference RelativeTransformerDownscaler(Linear) state_dict ->
+    flax _RelativeTransformerDownscalerBase params."""
+    ds: Dict = {
+        "input_linear": import_dense(downscaler_sd, "input_linear."),
+        "target_channel_embeddings": _t(
+            downscaler_sd["target_channel_embeddings"]),
+        "events_positioning_embeddings": _t(
+            downscaler_sd["events_positioning_embeddings"]),
+        "output_linear": import_dense(downscaler_sd, "output_linear."),
+    }
+    for i, num_layers in enumerate(list_of_num_layers):
+        stage = {}
+        for j in range(num_layers):
+            p = f"transformers.{i}.layers.{j}."
+            stage[f"layer_{j}"] = {
+                "self_attn": _import_relative_mha(downscaler_sd,
+                                                  f"{p}self_attn.", num_heads),
+                "norm1": _import_layernorm(downscaler_sd, f"{p}norm1."),
+                "norm2": _import_layernorm(downscaler_sd, f"{p}norm2."),
+                "ff": _import_ff(downscaler_sd, p),
+            }
+        ds[f"transformer_{i}"] = stage
+        if linear_aggregation:
+            ds[f"linear_agg_{i}"] = import_dense(downscaler_sd,
+                                                 f"linear_aggs.{i}.")
+    return ds
+
+
 def import_encoder_state_dicts(data_processor_sd: Dict,
                                downscaler_sd: Dict,
                                quantizer_sd: Dict,
                                upscaler_sd: Dict | None,
-                               num_layers_gru: int,
-                               bidirectional: bool) -> Dict:
+                               num_layers_gru: int = 2,
+                               bidirectional: bool = True,
+                               downscaler_type: str = "lstm_downscaler",
+                               num_heads: int = 8,
+                               list_of_num_layers=None) -> Dict:
     """Build the flax Encoder 'params' tree from the four reference
-    state_dicts (GRU-downscaler configuration)."""
+    state_dicts."""
     params: Dict = {}
 
     # per-channel embeddings (reference data_processor.py:26-32)
@@ -57,17 +92,23 @@ def import_encoder_state_dicts(data_processor_sd: Dict,
         c += 1
     params["data_processor"] = dp
 
-    # GRU downscaler (reference lstm_downscaler.py). The bidirectional case
-    # maps onto the fused BiGRU's direction-stacked params (ops/gru.py).
-    if bidirectional:
-        fwd = import_gru(downscaler_sd, "g_enc_fwd.", num_layers_gru)
-        bwd = import_gru(downscaler_sd, "g_enc_bwd.", num_layers_gru)
-        bigru = {k: np.stack([fwd[k], bwd[k]], axis=0) for k in fwd}
-        ds = {"bigru": bigru}
+    if downscaler_type == "lstm_downscaler":
+        # GRU downscaler (reference lstm_downscaler.py). The bidirectional
+        # case maps onto the fused BiGRU's direction-stacked params.
+        if bidirectional:
+            fwd = import_gru(downscaler_sd, "g_enc_fwd.", num_layers_gru)
+            bwd = import_gru(downscaler_sd, "g_enc_bwd.", num_layers_gru)
+            bigru = {k: np.stack([fwd[k], bwd[k]], axis=0) for k in fwd}
+            ds = {"bigru": bigru}
+        else:
+            ds = {"g_enc_fwd": import_gru(downscaler_sd, "g_enc_fwd.",
+                                          num_layers_gru)}
+        ds["output_linear"] = import_dense(downscaler_sd, "output_linear.")
     else:
-        ds = {"g_enc_fwd": import_gru(downscaler_sd, "g_enc_fwd.",
-                                      num_layers_gru)}
-    ds["output_linear"] = import_dense(downscaler_sd, "output_linear.")
+        ds = import_transformer_downscaler(
+            downscaler_sd, num_heads, list_of_num_layers,
+            linear_aggregation=(
+                downscaler_type == "relative_transformer_downscaler_linear"))
     params["downscaler"] = ds
 
     # product quantizer (reference vector_quantizer.py:44-48: ParameterList)
