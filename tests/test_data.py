@@ -175,3 +175,16 @@ def test_prefetch_iterator():
     assert next(it) == 1
     with pytest.raises(ValueError):
         next(it)
+
+
+def test_vocabulary_save_load_roundtrip(tmp_path):
+    from vqcpcb_tpu.data.vocab import Vocabulary, midi_of_plain_name
+    note_sets = [{f"p{m}" for m in range(50, 60)} for _ in range(4)]
+    v = Vocabulary.from_note_sets(note_sets, midi_of_plain_name)
+    path = str(tmp_path / "sub" / "vocab.json")
+    v.save(path)
+    v2 = Vocabulary.load(path)
+    assert v2.note2index_dicts == v.note2index_dicts
+    assert v2.voice_ranges == v.voice_ranges
+    assert v2.index2note_dicts[0][0] == v.index2note_dicts[0][0]
+    assert v2.num_tokens_per_channel == v.num_tokens_per_channel
