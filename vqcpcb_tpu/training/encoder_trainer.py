@@ -294,8 +294,9 @@ class VQCPCEncoderTrainer:
 
     def encode(self, x: np.ndarray):
         """x tokens -> (z_quantized, encoding_indices, q_loss), jitted."""
+        if not hasattr(self, "_encode_fn"):
+            self._encode_fn = jax.jit(
+                lambda v, xx: self.model.apply(
+                    v, xx, method=lambda m, inp: m.encoder(inp)))
         variables = {"params": self.state.params, **self.state.batch_stats}
-        return jax.jit(
-            lambda v, xx: self.model.apply(
-                v, xx, method=lambda m, inp: m.encoder(inp))
-        )(variables, jnp.asarray(x))
+        return self._encode_fn(variables, jnp.asarray(x))
