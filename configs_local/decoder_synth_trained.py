@@ -4,7 +4,7 @@ from pathlib import Path
 
 
 config = {
-    'config_encoder':              'models/encoder_random_synthetic_2026-08-16_06-28-28/config.py',  # path to a trained encoder config.py
+    'config_encoder':              'models/encoder_random_synthetic_2026-08-16_10-12-13/config.py',  # path to a trained encoder config.py
     'training_method':             'decoder',
     'dataset':                     'synthetic',
     'corpus_kwargs': dict(num_chorales=24, min_beats=16, max_beats=48, seed=0),
