@@ -4,7 +4,7 @@ from pathlib import Path
 
 config = {
     'config_encoder': 'models/encoder_random_synthetic_2026-08-16_10-12-13/config.py',
-    'config_decoder': None,
+    'config_decoder': 'models/decoder_synth_trained_2026-08-16_10-41-25/config.py',
     'training_method': 'prior',
     'dataset': 'synthetic',
     'corpus_kwargs': dict(num_chorales=24, min_beats=16, max_beats=48, seed=0),

@@ -91,6 +91,10 @@ def main(train, load, config_path, do_generate, num_workers, num_epochs):
     if do_generate:
         from main_decoder import main as _  # noqa: F401 (doc pointer)
         config_decoder_path = config["config_decoder"]
+        if config_decoder_path is None:
+            raise click.UsageError(
+                "-g requires 'config_decoder' in the prior config to point "
+                "at a trained decoder's config.py")
         decoder_config = load_config_module(config_decoder_path)
         data_processor = getters.get_data_processor(
             dataloader_generator=dataloader_generator,
@@ -112,7 +116,9 @@ def main(train, load, config_path, do_generate, num_workers, num_epochs):
             encoder_variables=encoder_variables,
             codebook_size=encoder_config["quantizer_kwargs"]["codebook_size"],
             num_codebooks=encoder_config["quantizer_kwargs"]["num_codebooks"])
-        decoder_trainer.init_state(first["x"], lr=decoder_config["lr"])
+        decoder_trainer.init_state(
+            first["x"], lr=decoder_config["lr"],
+            schedule_lr=decoder_config.get("schedule_lr", False))
         decoder_trainer.load(early_stopped=True)
         trainer.generate(
             num_tokens=prior.num_tokens,
