@@ -96,12 +96,21 @@ def main(train, load, config_path, do_generate, num_workers, num_epochs):
                 "-g requires 'config_decoder' in the prior config to point "
                 "at a trained decoder's config.py")
         decoder_config = load_config_module(config_decoder_path)
+        # the decoder has its OWN sequence geometry (e.g. 24-beat windows);
+        # rebuild its dataloader/data-processor from its config rather than
+        # reusing the prior's
+        decoder_dataloader = getters.get_dataloader_generator(
+            dataset=decoder_config["dataset"],
+            training_method="decoder",
+            dataloader_generator_kwargs=decoder_config[
+                "dataloader_generator_kwargs"],
+            config=decoder_config)
         data_processor = getters.get_data_processor(
-            dataloader_generator=dataloader_generator,
+            dataloader_generator=decoder_dataloader,
             data_processor_type=decoder_config["data_processor_type"],
             data_processor_kwargs=decoder_config["data_processor_kwargs"])
         decoder = getters.get_decoder(
-            dataloader_generator=dataloader_generator,
+            dataloader_generator=decoder_dataloader,
             data_processor=data_processor,
             encoder=encoder,
             encoder_config=encoder_config,
@@ -110,18 +119,23 @@ def main(train, load, config_path, do_generate, num_workers, num_epochs):
         from vqcpcb_tpu.training.decoder_trainer import DecoderTrainer
         decoder_trainer = DecoderTrainer(
             model_dir=os.path.dirname(config_decoder_path),
-            dataloader_generator=dataloader_generator,
+            dataloader_generator=decoder_dataloader,
             decoder=decoder,
             encoder=encoder,
             encoder_variables=encoder_variables,
             codebook_size=encoder_config["quantizer_kwargs"]["codebook_size"],
             num_codebooks=encoder_config["quantizer_kwargs"]["num_codebooks"])
+        dec_train, _, _ = decoder_dataloader.dataloaders(
+            batch_size=decoder_config["batch_size"])
         decoder_trainer.init_state(
-            first["x"], lr=decoder_config["lr"],
+            next(iter(dec_train))["x"], lr=decoder_config["lr"],
             schedule_lr=decoder_config.get("schedule_lr", False))
         decoder_trainer.load(early_stopped=True)
+        # the code sequence must cover at least one decoder window
+        decoder_window_codes = (decoder.data_processor.num_tokens
+                                // decoder.total_upscaling)
         trainer.generate(
-            num_tokens=prior.num_tokens,
+            num_tokens=max(prior.num_tokens, decoder_window_codes),
             decoder_trainer=decoder_trainer,
             temperature=config.get("generation_temperature", 1.0),
             num_generated_codes=config.get("num_generated_codes", 1),
