@@ -104,3 +104,35 @@ def test_main_decoder_train_and_reharmonize(workdir):
     assert result.exit_code == 0, result.output
     rehar = model_dir / "reharmonisations"
     assert rehar.exists() and len(list(rehar.iterdir())) >= 3
+
+
+def test_main_prior_generate_through_decoder(workdir):
+    """The chained unconditional-generation path: train decoder, train prior,
+    then prior -g decodes sampled codes through the decoder."""
+    from main_decoder import main as decoder_main
+    from main_prior import main as prior_main
+    runner = CliRunner()
+    r = runner.invoke(decoder_main,
+                      ["-t", "-c", "configs/decoder_smoke.py",
+                       "--num_epochs", "1"], catch_exceptions=False)
+    assert r.exit_code == 0, r.output
+    dec_dir = sorted((workdir / "models").glob("decoder_smoke_*"))[0]
+
+    # point the prior smoke config at the trained decoder
+    text = (workdir / "configs" / "prior_smoke.py").read_text()
+    text = text.replace("'config_decoder': None,",
+                        f"'config_decoder': {str(dec_dir / 'config.py')!r},")
+    (workdir / "configs" / "prior_smoke.py").write_text(text)
+
+    r = runner.invoke(prior_main,
+                      ["-t", "-c", "configs/prior_smoke.py",
+                       "--num_epochs", "1"], catch_exceptions=False)
+    assert r.exit_code == 0, r.output
+    prior_dir = sorted((workdir / "models").glob("prior_smoke_*"))[0]
+
+    r = runner.invoke(prior_main,
+                      ["-l", "-g", "-c", str(prior_dir / "config.py")],
+                      catch_exceptions=False)
+    assert r.exit_code == 0, r.output
+    gen = prior_dir / "generations"
+    assert gen.exists() and len(list(gen.iterdir())) >= 1
