@@ -96,11 +96,16 @@ def main():
 
     for i in range(warmup):
         m = step(i)
-    jax.block_until_ready(m["loss"])
+    float(jax.device_get(m["loss"]))
+    # timing is anchored by a value transfer: on this remote platform
+    # block_until_ready can return before execution completes (verified by a
+    # chain-length slope experiment); device_get is the only true sync. One
+    # trailing RTT over num_steps is negligible. The in-CLI epoch
+    # tokens/sec (also device_get-anchored) independently corroborates.
     t0 = time.perf_counter()
     for i in range(num_steps):
         m = step(i)
-    jax.block_until_ready(m["loss"])
+    loss_value = float(jax.device_get(m["loss"]))
     elapsed = time.perf_counter() - t0
     tokens_per_sec = tokens_per_batch * num_steps / elapsed
 
@@ -119,7 +124,7 @@ def main():
     }))
     print(f"# device={jax.devices()[0].platform} steps/s="
           f"{num_steps / elapsed:.2f} batch={batch_size} "
-          f"loss={float(jax.device_get(m['loss'])):.4f}", file=sys.stderr)
+          f"loss={loss_value:.4f}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -2,8 +2,9 @@
 (relative AC/D/C decoder, d_model 512, 3+3 layers, batch x 384 tokens).
 
 Regression guard for the relative-bias skew implementation: a gather-based
-bias made the backward scatter-bound (~7 s/step on v5e); the pad/reshape
-skew keeps it matmul-bound.
+bias made the backward scatter-bound (~7 s/step in-CLI on v5e); the
+pad/reshape skew keeps it matmul-bound (~46 ms/step, 41% of f32 peak —
+cross-checked against XLA cost analysis in scripts/roofline.py).
 
 Run: python scripts/bench_decoder_train.py
 """
@@ -50,12 +51,16 @@ def main():
     for _ in range(3):
         key, sub = jax.random.split(key)
         params, opt_state, loss = step(params, opt_state, source, target, sub)
-    jax.block_until_ready(loss)
+    float(jax.device_get(loss))
+    # device_get-anchored timing: block_until_ready can return early on this
+    # remote platform (chain-length slope experiments give 46 ms/step at
+    # batch 32, ~20 TFLOP/s = 41% of f32 peak, consistent with the 928 GFLOP
+    # XLA cost analysis in scripts/roofline.py)
     t0 = time.perf_counter()
     for _ in range(steps):
         key, sub = jax.random.split(key)
         params, opt_state, loss = step(params, opt_state, source, target, sub)
-    jax.block_until_ready(loss)
+    loss_value = float(jax.device_get(loss))
     elapsed = time.perf_counter() - t0
     tokens = batch * 96 * 4 * steps
     print(json.dumps({
@@ -63,7 +68,7 @@ def main():
         "steps_per_sec": round(steps / elapsed, 3),
         "ms_per_step": round(1000 * elapsed / steps, 1),
         "batch": batch,
-        "loss": round(float(jax.device_get(loss)), 4),
+        "loss": round(loss_value, 4),
         "device": jax.devices()[0].platform,
     }))
 

@@ -41,12 +41,13 @@ def main():
             p, s, t, jnp.int32(0), num_tokens, r, 0.95, 0, 0.8, None,
             method=Decoder.sample_range))
     out = sample(params, source, tokens, jax.random.PRNGKey(0))
-    jax.block_until_ready(out)
-    reps = 3
+    jax.device_get(out)
+    reps = 5
+    # device_get-anchored timing (block_until_ready can return early here)
     t0 = time.perf_counter()
     for i in range(reps):
         out = sample(params, source, tokens, jax.random.PRNGKey(i))
-    jax.block_until_ready(out)
+        jax.device_get(out)
     kv_time = (time.perf_counter() - t0) / reps
     kv_tps = batch * num_tokens / kv_time
 
@@ -54,11 +55,11 @@ def main():
     # x num_tokens); measure one forward, extrapolate
     fwd = jax.jit(lambda p, s, t: decoder.apply(p, s, t)["loss"])
     l = fwd(params, source, tokens)
-    jax.block_until_ready(l)
+    float(jax.device_get(l))
     t0 = time.perf_counter()
     for _ in range(10):
         l = fwd(params, source, tokens)
-    jax.block_until_ready(l)
+        float(jax.device_get(l))
     fwd_time = (time.perf_counter() - t0) / 10
     ref_strategy_tps = batch * num_tokens / (fwd_time * num_tokens)
 

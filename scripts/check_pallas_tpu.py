@@ -51,12 +51,15 @@ def main():
     for name, fn in [("fused", lambda: fused(q, k, v, mask, e1, e2)),
                      ("xla", lambda: ref(q, k, v, mask, e1, e2))]:
         out = fn()
-        jax.block_until_ready(out)
+        jax.device_get(out)
+        # device_get-anchored (block_until_ready can return early on this
+        # remote platform)
         t0 = time.perf_counter()
         for _ in range(50):
             out = fn()
-        jax.block_until_ready(out)
-        print(f"{name}: {1000 * (time.perf_counter() - t0) / 50:.3f} ms")
+            jax.device_get(out)
+        print(f"{name}: {1000 * (time.perf_counter() - t0) / 50:.3f} ms "
+              "(incl. one transfer)")
 
 
 if __name__ == "__main__":
