@@ -391,6 +391,11 @@ class Decoder(nn.Module):
                 t, axis=1)
             return (tokens_flat, caches, rng), None
 
+        import os
+        # unrolling amortises per-iteration overhead of the many small ops in
+        # a decode step (the scan is latency-bound at small decode batches)
+        unroll = int(os.environ.get("VQCPCB_SAMPLER_UNROLL", "1"))
         (tokens_flat, _, _), _ = jax.lax.scan(
-            step, (tokens_flat, caches, rng), jnp.arange(num_steps))
+            step, (tokens_flat, caches, rng), jnp.arange(num_steps),
+            unroll=unroll)
         return tokens_flat.reshape(b, num_events, c)
