@@ -118,8 +118,19 @@ class Music21BachCorpus:
     def cache_key(self) -> str:
         return f"bach_m21_v{self.num_voices}"
 
+    @staticmethod
+    def _import_music21():
+        try:
+            import music21
+            return music21
+        except ImportError as e:
+            raise ImportError(
+                "the 'bach' dataset needs music21 (pip install music21); "
+                "for a music21-free run use dataset: 'synthetic' "
+                "(e.g. configs/encoder_random_synthetic.py)") from e
+
     def __iter__(self) -> Iterator[NeutralScore]:
-        import music21
+        music21 = self._import_music21()
         for chorale in music21.corpus.chorales.Iterator():
             if len(chorale.parts) != self.num_voices:
                 continue
@@ -164,7 +175,7 @@ class Music21BachCorpus:
         return neutral
 
     def build_vocabulary(self) -> Vocabulary:
-        import music21
+        music21 = self._import_music21()
         note_sets = [set() for _ in range(self.num_voices)]
         name_to_midi = {}
         for chorale in music21.corpus.chorales.Iterator():
