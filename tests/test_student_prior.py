@@ -180,3 +180,19 @@ def test_prior_end_to_end(tmp_path):
                                    num_generated_codes=2)
     assert codes.shape == (2, prior.num_tokens)
     assert codes.min() >= 0 and codes.max() < 8
+
+
+def test_prior_temperature_semantics(tmp_path):
+    """The reference prior SHARPENS with higher temperature
+    (p ∝ softmax(logits)^T, prior_relative.py:335-339 — inverted vs the
+    decoder's logits/T). High T must approach greedy decoding."""
+    import jax.numpy as jnp
+
+    from vqcpcb_tpu.ops.sampling import sample_categorical
+    rng = jax.random.PRNGKey(0)
+    logits = jnp.asarray(np.tile([[2.0, 1.0, 0.0, -1.0]], (256, 1)))
+    # prior path: sample_categorical(logits * T, temperature=1)
+    sharp = np.asarray(sample_categorical(rng, logits * 50.0))
+    assert (sharp == 0).all()
+    flat = np.asarray(sample_categorical(rng, logits * 0.01))
+    assert len(set(flat.tolist())) >= 3  # near-uniform
