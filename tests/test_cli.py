@@ -55,6 +55,17 @@ def test_main_encoder_train_and_load(workdir):
         catch_exceptions=False)
     assert result.exit_code == 0, result.output
 
+    # crash-resume: -t -l continues training into the same model dir
+    # (reference behaviour: timestamp reuse, main_encoder.py:40-48)
+    before = (model_dir / "metrics.jsonl").read_text().count("\n")
+    result = runner.invoke(
+        encoder_main,
+        ["-t", "-l", "-c", str(model_dir / "config.py"), "--num_epochs", "1"],
+        catch_exceptions=False)
+    assert result.exit_code == 0, result.output
+    after = (model_dir / "metrics.jsonl").read_text().count("\n")
+    assert after > before
+
 
 def test_main_encoder_student_training(workdir):
     from main_encoder import main as encoder_main
