@@ -5,7 +5,12 @@ Runs the framework's jitted train step on the available accelerator (one TPU
 chip under the driver) over pregenerated random batches — the identical
 workload scripts/measure_reference_baseline.py times for the PyTorch
 reference on CPU. Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
+   "codebook_perplexity": N, "decoder_sample_tokens_per_sec": N}
+The two extra fields cover the remaining BASELINE.json north-star metrics:
+codebook perplexity measured on a held-out batch after the timed training
+steps, and the KV-cached sampler's decoding throughput on the flagship
+decoder (set VQCPCB_BENCH_SAMPLER=0 to skip the second compile).
 """
 import json
 import os
@@ -116,12 +121,74 @@ def main():
             baseline = json.load(f)
         vs_baseline = tokens_per_sec / baseline["encoder_train_tokens_per_sec_cpu"]
 
-    print(json.dumps({
+    record = {
         "metric": "encoder_train_tokens_per_sec",
         "value": round(tokens_per_sec, 1),
         "unit": "tokens/s",
         "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
-    }))
+    }
+
+    # ---- secondary BASELINE.json metric: codebook perplexity on held-out
+    # data (exp entropy of the merged-code usage histogram, cpc.py:166) -------
+    try:
+        from vqcpcb_tpu.models.encoder import merge_codes
+
+        heldout = np.random.RandomState(1234).randint(
+            0, vocab, size=(64, ticks_lr, 4)).astype(np.int32)
+        state = jax.device_get(trainer.state)
+        enc_vars = {"params": state.params["encoder"],
+                    **{k: v.get("encoder", {})
+                       for k, v in state.batch_stats.items()}}
+
+        @jax.jit
+        def _perplexity(enc_vars, x):
+            _, idx, _ = encoder.apply(enc_vars, x)
+            merged = merge_codes(idx, encoder.quantizer.codebook_size)
+            vocab_m = (encoder.quantizer.codebook_size
+                       ** encoder.quantizer.num_codebooks)
+            hist = jax.nn.one_hot(merged.reshape(-1), vocab_m,
+                                  dtype=jnp.float32).sum(axis=0)
+            p = hist / jnp.maximum(hist.sum(), 1)
+            entropy = -jnp.sum(jnp.where(p > 0, p * jnp.log(p), 0.0))
+            return jnp.exp(entropy)
+
+        record["codebook_perplexity"] = round(
+            float(jax.device_get(_perplexity(enc_vars, heldout))), 2)
+    except Exception as exc:  # never break the primary metric line
+        print(f"# codebook perplexity failed: {exc!r}", file=sys.stderr)
+
+    # ---- third BASELINE.json metric: decoder sampling tokens/sec on the
+    # flagship decoder (KV-cached lax.scan sampler, scripts/bench_sampler.py) -
+    if os.environ.get("VQCPCB_BENCH_SAMPLER", "1") != "0":
+        try:
+            from __graft_entry__ import _flagship_decoder
+            from vqcpcb_tpu.models.decoder import Decoder
+
+            sbatch = int(os.environ.get("BENCH_SAMPLER_BATCH", "8"))
+            decoder = _flagship_decoder()
+            src = jnp.asarray(rng.randint(0, 16, size=(sbatch, 24)))
+            toks = jnp.zeros((sbatch, 96, 4), dtype=jnp.int32)
+            dvars = decoder.init(
+                {"params": jax.random.PRNGKey(0),
+                 "dropout": jax.random.PRNGKey(1)}, src, toks)
+            n_tok = 96 * 4
+            sample = jax.jit(
+                lambda p, s, t, r: decoder.apply(
+                    p, s, t, jnp.int32(0), n_tok, r, 0.95, 0, 0.8, None,
+                    method=Decoder.sample_range))
+            jax.device_get(sample(dvars, src, toks, jax.random.PRNGKey(0)))
+            reps = 3
+            t0 = time.perf_counter()
+            for i in range(reps):
+                out = sample(dvars, src, toks, jax.random.PRNGKey(i + 1))
+                jax.device_get(out)
+            s_elapsed = (time.perf_counter() - t0) / reps
+            record["decoder_sample_tokens_per_sec"] = round(
+                sbatch * n_tok / s_elapsed, 1)
+        except Exception as exc:
+            print(f"# decoder sampling bench failed: {exc!r}", file=sys.stderr)
+
+    print(json.dumps(record))
     print(f"# device={jax.devices()[0].platform} steps/s="
           f"{num_steps / elapsed:.2f} batch={batch_size} "
           f"loss={loss_value:.4f}", file=sys.stderr)
