@@ -180,6 +180,11 @@ def test_prior_end_to_end(tmp_path):
                                    num_generated_codes=2)
     assert codes.shape == (2, prior.num_tokens)
     assert codes.min() >= 0 and codes.max() < 8
+    # beyond the model window: chunked sliding prefill+scan path
+    long_codes = trainer.generate_codes(num_tokens=prior.num_tokens * 2 + 1,
+                                        num_generated_codes=2)
+    assert long_codes.shape == (2, prior.num_tokens * 2 + 1)
+    assert long_codes.min() >= 0 and long_codes.max() < 8
 
 
 def test_prior_temperature_semantics(tmp_path):
@@ -196,3 +201,62 @@ def test_prior_temperature_semantics(tmp_path):
     assert (sharp == 0).all()
     flat = np.asarray(sample_categorical(rng, logits * 0.01))
     assert len(set(flat.tolist())) >= 3  # near-uniform
+
+
+def _make_prior(num_events=12, vocab=11):
+    from vqcpcb_tpu.models.prior import PriorRelative
+    return PriorRelative(
+        code_vocab_size=vocab, d_model=32, num_layers=2, n_head=2,
+        dim_feedforward=48, embedding_size=8, num_channels=1,
+        num_events=num_events, dropout=0.0)
+
+
+def test_prior_kv_sampler_matches_full_forward():
+    """Greedy decoding through the prior's KV-cached scan must bit-match a
+    naive full-forward-per-code loop (the reference's strategy,
+    prior_relative.py:327-353) — same pattern as the decoder sampler test."""
+    from vqcpcb_tpu.models.prior import PriorRelative
+
+    prior = _make_prior()
+    x0 = jnp.zeros((3, 12), dtype=jnp.int32)
+    params = prior.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        x0)
+
+    logits_fn = jax.jit(
+        lambda p, w: prior.apply(p, w, method=PriorRelative.logits))
+    want = np.zeros((3, 12), dtype=np.int32)
+    for t in range(12):
+        logits = np.asarray(logits_fn(params, jnp.asarray(want)))
+        want[:, t] = logits[:, t].argmax(-1)
+
+    got = prior.apply(params, x0, jnp.int32(0), 12, jax.random.PRNGKey(0),
+                      1.0, 1, method=PriorRelative.sample_window)
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_prior_kv_sampler_fixed_prefix():
+    """start>0 keeps the prefix and continues exactly like the naive loop —
+    the geometry of the chunked sliding window in generate_codes."""
+    from vqcpcb_tpu.models.prior import PriorRelative
+
+    prior = _make_prior()
+    rng = np.random.RandomState(7)
+    prefix = rng.randint(0, 11, size=(3, 12)).astype(np.int32)
+    prefix[:, 8:] = 0
+    x0 = jnp.asarray(prefix)
+    params = prior.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        x0)
+
+    logits_fn = jax.jit(
+        lambda p, w: prior.apply(p, w, method=PriorRelative.logits))
+    want = prefix.copy()
+    for t in range(8, 12):
+        logits = np.asarray(logits_fn(params, jnp.asarray(want)))
+        want[:, t] = logits[:, t].argmax(-1)
+
+    got = prior.apply(params, x0, jnp.int32(8), 4, jax.random.PRNGKey(0),
+                      1.0, 1, method=PriorRelative.sample_window)
+    np.testing.assert_array_equal(np.asarray(got)[:, :8], prefix[:, :8])
+    np.testing.assert_array_equal(np.asarray(got), want)

@@ -10,6 +10,7 @@ from __future__ import annotations
 from typing import Dict
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from vqcpcb_tpu.ops.losses import categorical_crossentropy
@@ -70,3 +71,86 @@ class PriorRelative(nn.Module):
             "weights_per_category": [logits],
             "monitored_quantities": {"loss": loss},
         }
+
+    # =========================================================================
+    # KV-cached autoregressive sampling (replaces the reference's full O(L^2)
+    # forward per sampled code, prior_relative.py:327-353, with one prefill
+    # per window + a lax.scan whose per-step cost is one attention row per
+    # layer — the same design as Decoder.sample_range)
+    # =========================================================================
+
+    def _embed_input_at(self, prev_code: jnp.ndarray) -> jnp.ndarray:
+        """Transformer input for a position whose *previous* code is
+        prev_code (B,). The prior has no absolute positional features — only
+        the relative bias — so the step embedding is position-independent.
+        Returns (B, d_model)."""
+        return self.linear(self.embedding(prev_code))
+
+    def prefill(self, x: jnp.ndarray):
+        """Causal full forward over the SOS-shifted window, filling per-layer
+        self-attention K/V caches. x: (B, T) code indices.
+
+        Returns caches: per-layer (k, v) of shape (B, H, T, hd)."""
+        b, num_tokens = x.shape
+        x_seq = self.linear(self.embedding(x))
+        sos = jnp.tile(self.sos, (b, 1, 1))
+        x_seq = jnp.concatenate([sos, x_seq[:, :-1]], axis=1)
+        mask = causal_mask(num_tokens)
+        out = x_seq
+        caches = []
+        for layer in self.transformer.layers:
+            out, kv = layer.capture(out, src_mask=mask)
+            caches.append(kv)
+        return caches
+
+    def sample_window(self,
+                      x_init: jnp.ndarray,
+                      start: jnp.ndarray,
+                      num_steps: int,
+                      rng: jax.Array,
+                      temperature: float = 1.0,
+                      top_k: int = 0) -> jnp.ndarray:
+        """Sample window positions [start, start+num_steps) autoregressively.
+
+        x_init: (B, T) int codes with fixed context in [0, start); start:
+        traced int32; num_steps: static int. Tempering follows the reference
+        (prior_relative.py:339-344): p ∝ softmax(logits)^temperature, i.e. the
+        logits are *multiplied* by temperature. top_k is a testing/extension
+        knob (greedy decode at top_k=1); the reference has no filtering here.
+        Returns the updated (B, T) codes."""
+        from vqcpcb_tpu.ops.sampling import sample_categorical
+
+        b, num_tokens = x_init.shape
+        caches = self.prefill(x_init)
+
+        def step_fn(carry, i):
+            x, caches, rng = carry
+            t = start + i
+            prev = jax.lax.dynamic_index_in_dim(
+                x, jnp.maximum(t - 1, 0), axis=1, keepdims=False)
+            x_t = jnp.where(
+                t > 0,
+                self._embed_input_at(prev),
+                jnp.tile(self.sos[0], (b, 1)))[:, None, :]   # (B, 1, d)
+            out = x_t
+            new_caches = []
+            for layer, (k_cache, v_cache) in zip(
+                    self.transformer.layers, caches):
+                k_t, v_t = layer.self_attn.project_kv(out)
+                k_cache = jax.lax.dynamic_update_slice_in_dim(
+                    k_cache, k_t, t, axis=2)
+                v_cache = jax.lax.dynamic_update_slice_in_dim(
+                    v_cache, v_t, t, axis=2)
+                out = layer.step(out, k_cache, v_cache, t, num_tokens)
+                new_caches.append((k_cache, v_cache))
+            logits = self.pre_softmax(out[:, 0])              # (B, V)
+            rng, sub = jax.random.split(rng)
+            new_code = sample_categorical(
+                sub, logits * temperature, temperature=1.0, top_k=top_k)
+            x = jax.lax.dynamic_update_slice_in_dim(
+                x, new_code[:, None].astype(x.dtype), t, axis=1)
+            return (x, new_caches, rng), None
+
+        (x, _, _), _ = jax.lax.scan(
+            step_fn, (x_init, caches, rng), jnp.arange(num_steps))
+        return x

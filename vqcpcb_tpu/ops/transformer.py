@@ -44,7 +44,11 @@ class FeedForward(nn.Module):
 
 
 class TransformerEncoderLayer(nn.Module):
-    """(reference: transformer_custom.py:220-291)"""
+    """(reference: transformer_custom.py:220-291)
+
+    Built in setup (attribute names match the previous compact names, so the
+    param tree is unchanged) so KV-cached samplers can drive capture/step —
+    the causal code prior decodes through these layers incrementally."""
     d_model: int
     n_head: int
     attention_bias_type: Optional[str]
@@ -54,9 +58,8 @@ class TransformerEncoderLayer(nn.Module):
     dropout: float = 0.1
     activation: str = "relu"
 
-    @nn.compact
-    def __call__(self, src, src_mask=None, training: bool = False):
-        src2, a_self = MultiheadAttention(
+    def setup(self):
+        self.self_attn = MultiheadAttention(
             embed_dim=self.d_model,
             num_heads=self.n_head,
             attention_bias_type=self.attention_bias_type,
@@ -64,21 +67,48 @@ class TransformerEncoderLayer(nn.Module):
             num_events_k=self.num_events,
             num_channels_q=self.num_channels,
             num_events_q=self.num_events,
-            dropout=self.dropout,
-            name="self_attn",
-        )(src, src, src, attn_mask=src_mask, training=training)
-        src = src + nn.Dropout(rate=self.dropout)(src2, deterministic=not training)
-        src = nn.LayerNorm(dtype=jnp.float32, name="norm1")(src)
-        src2 = FeedForward(self.d_model, self.dim_feedforward, self.dropout,
-                           self.activation, name="ff")(src, training=training)
-        src = src + nn.Dropout(rate=self.dropout)(src2, deterministic=not training)
-        src = nn.LayerNorm(dtype=jnp.float32, name="norm2")(src)
+            dropout=self.dropout)
+        self.ff = FeedForward(self.d_model, self.dim_feedforward, self.dropout,
+                              self.activation)
+        self.norm1 = nn.LayerNorm(dtype=jnp.float32)
+        self.norm2 = nn.LayerNorm(dtype=jnp.float32)
+        self.drop1 = nn.Dropout(rate=self.dropout)
+        self.drop2 = nn.Dropout(rate=self.dropout)
+
+    def __call__(self, src, src_mask=None, training: bool = False):
+        src2, a_self = self.self_attn(src, src, src, attn_mask=src_mask,
+                                      training=training)
+        src = src + self.drop1(src2, deterministic=not training)
+        src = self.norm1(src)
+        src2 = self.ff(src, training=training)
+        src = src + self.drop2(src2, deterministic=not training)
+        src = self.norm2(src)
         return src, {"a_self_encoder": a_self}
+
+    # ---- KV-cached sampling support -----------------------------------------
+
+    def capture(self, src, src_mask=None):
+        """Full forward that also returns this layer's self-attention K/V for
+        cache prefill (same pattern as TransformerDecoderLayer.capture)."""
+        k_self, v_self = self.self_attn.project_kv(src)
+        out, _ = self.__call__(src, src_mask=src_mask, training=False)
+        return out, (k_self, v_self)
+
+    def step(self, x_t, k_cache, v_cache, t, seq_len):
+        """One-position decode. x_t: (B, 1, E); k/v_cache: (B, H, T, hd)
+        already containing THIS position's projections."""
+        src2 = self.self_attn.step(x_t, k_cache, v_cache, t, seq_len)
+        x = self.norm1(x_t + src2)
+        src2 = self.ff(x, training=False)
+        return self.norm2(x + src2)
 
 
 class TransformerEncoder(nn.Module):
     """Stack with independent layer parameters
-    (reference: transformer_custom.py:121-163)."""
+    (reference: transformer_custom.py:121-163).
+
+    Layers are built in setup (names unchanged) so samplers can drive their
+    capture/step methods individually for KV-cached decoding."""
     num_layers: int
     d_model: int
     n_head: int
@@ -88,13 +118,9 @@ class TransformerEncoder(nn.Module):
     dim_feedforward: int = 2048
     dropout: float = 0.1
 
-    @nn.compact
-    def __call__(self, src, mask=None, training: bool = False,
-                 collect_attentions: bool = False):
-        attentions: List[dict] = []
-        out = src
-        for i in range(self.num_layers):
-            out, attn = TransformerEncoderLayer(
+    def setup(self):
+        self.layers = [
+            TransformerEncoderLayer(
                 d_model=self.d_model,
                 n_head=self.n_head,
                 attention_bias_type=self.attention_bias_type,
@@ -102,8 +128,15 @@ class TransformerEncoder(nn.Module):
                 num_events=self.num_events,
                 dim_feedforward=self.dim_feedforward,
                 dropout=self.dropout,
-                name=f"layer_{i}",
-            )(out, src_mask=mask, training=training)
+                name=f"layer_{i}")
+            for i in range(self.num_layers)]
+
+    def __call__(self, src, mask=None, training: bool = False,
+                 collect_attentions: bool = False):
+        attentions: List[dict] = []
+        out = src
+        for layer in self.layers:
+            out, attn = layer(out, src_mask=mask, training=training)
             if collect_attentions:
                 attentions.append(attn)
         return out, attentions

@@ -24,7 +24,6 @@ import numpy as np
 
 from vqcpcb_tpu.models.encoder import Encoder, merge_codes
 from vqcpcb_tpu.models.prior import PriorRelative
-from vqcpcb_tpu.ops.sampling import sample_categorical
 from vqcpcb_tpu.parallel import mesh as mesh_lib
 from vqcpcb_tpu.training import checkpoints
 from vqcpcb_tpu.training.metrics import MetricsWriter
@@ -103,6 +102,16 @@ class PriorTrainer:
                                method=PriorRelative.logits)
 
         self._logits_fn = logits_fn
+
+        @functools.partial(jax.jit,
+                           static_argnames=("num_steps", "temperature"))
+        def sample_window_fn(params, window, start, num_steps, rng,
+                             temperature):
+            return prior.apply({"params": params}, window, start, num_steps,
+                               rng, temperature,
+                               method=PriorRelative.sample_window)
+
+        self._sample_window_fn = sample_window_fn
         self._train_step = None
 
     def init_state(self, sample_x: np.ndarray, lr: float) -> TrainState:
@@ -193,28 +202,46 @@ class PriorTrainer:
     # ---- generation (reference: prior_relative.py:308-368) -------------------
 
     def generate_codes(self, num_tokens: int, num_generated_codes: int = 1,
-                       temperature: float = 1.0) -> np.ndarray:
-        """Autoregressive code sampling with a sliding context window.
+                       temperature: float = 1.0,
+                       chunk: Optional[int] = None) -> np.ndarray:
+        """Autoregressive code sampling, KV-cached.
 
-        The model sees at most its native num_tokens context; like the
-        reference, logits are tempered via p^(T) renormalisation."""
+        The first model-window's codes come from ONE prefill + lax.scan
+        (PriorRelative.sample_window); beyond the model context the window
+        slides in chunks — each chunk is one prefill over the last
+        (num_tokens_model - chunk) generated codes + a scan of `chunk` steps.
+        Context per sampled code is thus between L-chunk and L-1 previous
+        codes, vs exactly L-1 in the reference's slide-by-one full-forward
+        loop (prior_relative.py:327-353) — chunk=1 recovers that exact
+        semantics at the reference's O(L^2)-per-code cost. Like the
+        reference, logits are tempered via p^(T) renormalisation.
+        Default chunk: half the model window (VQCPCB_PRIOR_CHUNK overrides)."""
         model_tokens = self.prior.num_tokens
         assert num_tokens >= model_tokens
-        x = np.zeros((num_generated_codes, num_tokens), dtype=np.int32)
-        for event_index in range(num_tokens):
-            if event_index >= model_tokens:
-                window = x[:, event_index - model_tokens + 1: event_index + 1]
-                offset = event_index - model_tokens + 1
-            else:
-                window = x[:, :model_tokens]
-                offset = 0
-            logits = self._logits_fn(self.state.params, jnp.asarray(window))
-            logits_t = logits[:, event_index - offset]
-            # reference tempering: p ∝ softmax(logits)^temperature
+        if chunk is None:
+            chunk = int(os.environ.get("VQCPCB_PRIOR_CHUNK",
+                                       str(max(1, model_tokens // 2))))
+        chunk = max(1, min(chunk, model_tokens - 1))
+        b = num_generated_codes
+        x = np.zeros((b, num_tokens), dtype=np.int32)
+
+        def sample(window_np, start, num_steps):
             self._rng, rng = jax.random.split(self._rng)
-            sampled = sample_categorical(
-                rng, logits_t * temperature, temperature=1.0)
-            x[:, event_index] = np.asarray(jax.device_get(sampled))
+            out = self._sample_window_fn(
+                self.state.params, jnp.asarray(window_np), jnp.int32(start),
+                num_steps, rng, float(temperature))
+            return np.asarray(jax.device_get(out))
+
+        x[:, :model_tokens] = sample(x[:, :model_tokens], 0, model_tokens)
+        pos = model_tokens
+        while pos < num_tokens:
+            n = min(chunk, num_tokens - pos)
+            ctx = x[:, pos - (model_tokens - n): pos]
+            window = np.concatenate(
+                [ctx, np.zeros((b, n), dtype=np.int32)], axis=1)
+            out = sample(window, model_tokens - n, n)
+            x[:, pos:pos + n] = out[:, model_tokens - n:]
+            pos += n
         return x
 
     def generate(self, num_tokens: int, decoder_trainer, temperature=1.0,
