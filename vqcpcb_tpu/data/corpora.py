@@ -189,7 +189,19 @@ class Music21BachCorpus:
                     else:
                         note_sets[part_id].add(n.name)
 
+        # reference quirk kept for parity: _compute_voice_ranges runs
+        # standard_note over EVERY vocab entry, and standard_note maps
+        # START/END/PAD to quarter-tone notes C~3/D~3/E~3 (midi 48/50/52,
+        # helpers.py:36-51) which then widen the voice ranges — and with
+        # them the per-window transposition intervals
+        # (chorale_dataset.py:400-416,234-250).
+        from vqcpcb_tpu.data.vocab import (END_SYMBOL, PAD_SYMBOL,
+                                           START_SYMBOL)
+        meta_pitches = {START_SYMBOL: 48, END_SYMBOL: 50, PAD_SYMBOL: 52}
+
         def midi_of(name: str) -> Optional[int]:
+            if name in meta_pitches:
+                return meta_pitches[name]
             if name in name_to_midi:
                 return name_to_midi[name]
             try:
