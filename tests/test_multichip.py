@@ -65,3 +65,40 @@ def test_tp_sharding_rules_applied():
     params = Odd().init(jax.random.PRNGKey(0), jnp.zeros((2, 8)))["params"]
     shardings = mesh_lib.params_shardings(params, mesh)
     assert shardings["linear1"]["kernel"].spec == mesh_lib.P()
+
+
+def test_tp_head_aligned_attention_specs_and_parity():
+    """Attention TP is head-aligned end-to-end: the (E, 3, H, hd) packed QKV
+    kernel, rel_e1/rel_e2 bias embeddings and the row-parallel out_proj all
+    split the SAME head axis over 'model', and the sharded forward matches
+    the replicated one."""
+    import numpy as np
+
+    from vqcpcb_tpu.ops.attention import MultiheadAttention
+
+    mesh = mesh_lib.make_mesh(num_model=2, devices=jax.devices()[:4])
+    mha = MultiheadAttention(
+        embed_dim=32, num_heads=4, attention_bias_type="relative_attention",
+        num_channels_k=4, num_events_k=8, num_channels_q=4, num_events_q=8)
+    x = jnp.asarray(np.random.RandomState(0).randn(4, 32, 32),
+                    dtype=jnp.float32)
+    params = mha.init(jax.random.PRNGKey(0), x, x, x)["params"]
+
+    # head-aligned kernel layout + specs
+    assert params["in_proj"]["kernel"].shape == (32, 3, 4, 8)
+    sh = mesh_lib.params_shardings(params, mesh)
+    P = mesh_lib.P
+    assert sh["in_proj"]["kernel"].spec == P(None, None, "model", None)
+    assert sh["in_proj"]["bias"].spec == P(None, "model", None)
+    assert sh["rel_e1"].spec == P("model", None, None)
+    assert sh["rel_e2"].spec == P("model", None, None)
+    assert sh["out_proj"]["kernel"].spec == P("model", None)
+
+    # loss parity at model=2: sharded params, batch sharded over 'data'
+    sharded_params = mesh_lib.shard_params(params, mesh)
+    x_sharded = mesh_lib.shard_batch({"x": np.asarray(x)}, mesh)["x"]
+
+    fwd = jax.jit(lambda p, q: mha.apply({"params": p}, q, q, q)[0])
+    out_tp = jax.device_get(fwd(sharded_params, x_sharded))
+    out_rep = jax.device_get(mha.apply({"params": params}, x, x, x)[0])
+    np.testing.assert_allclose(out_tp, out_rep, rtol=2e-5, atol=2e-6)

@@ -49,8 +49,16 @@ class MultiheadAttention(nn.Module):
     def setup(self):
         assert self.embed_dim % self.num_heads == 0
         head_dim = self.embed_dim // self.num_heads
+
+        # kernel laid out (E, 3, H, hd) so tensor parallelism can shard the
+        # HEAD axis: a contiguous split of the packed (E, 3E) kernel crosses
+        # q/k/v boundaries and forces GSPMD resharding collectives, while a
+        # P(None, None, 'model', None) split keeps every head's q/k/v on one
+        # device (parallel/mesh.py TP_RULES). DenseGeneral initialises the
+        # kernel through the flattened (E, 3E) shape, so the values are
+        # bit-identical to the flat parameterisation this replaces.
         self.in_proj = nn.DenseGeneral(
-            features=3 * self.embed_dim,
+            features=(3, self.num_heads, head_dim),
             kernel_init=nn.initializers.xavier_uniform(),
             bias_init=nn.initializers.zeros,
             dtype=compute_dtype(),
@@ -81,22 +89,19 @@ class MultiheadAttention(nn.Module):
 
     # --- projection helpers (shared by full forward and the KV-cached step) --
 
-    def _split_heads(self, x: jnp.ndarray) -> jnp.ndarray:
-        b, l, _ = x.shape
-        return x.reshape(b, l, self.num_heads, -1).transpose(0, 2, 1, 3)
-
     def project_q(self, query: jnp.ndarray) -> jnp.ndarray:
         """(B, L, E) -> scaled q (B, H, L, hd)."""
         head_dim = self.embed_dim // self.num_heads
-        qkv = self.in_proj(query)
-        q = qkv[..., :self.embed_dim] * (head_dim ** -0.5)
-        return self._split_heads(q)
+        qkv = self.in_proj(query)                 # (B, L, 3, H, hd)
+        q = qkv[..., 0, :, :] * (head_dim ** -0.5)
+        return q.transpose(0, 2, 1, 3)
 
     def project_kv(self, key: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """(B, S, E) -> k, v each (B, H, S, hd)."""
-        kv = self.in_proj(key)[..., self.embed_dim:]
-        k, v = jnp.split(kv, 2, axis=-1)
-        return self._split_heads(k), self._split_heads(v)
+        qkv = self.in_proj(key)                   # (B, S, 3, H, hd)
+        k = qkv[..., 1, :, :].transpose(0, 2, 1, 3)
+        v = qkv[..., 2, :, :].transpose(0, 2, 1, 3)
+        return k, v
 
     # --- full forward ---------------------------------------------------------
 

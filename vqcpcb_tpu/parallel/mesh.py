@@ -64,11 +64,20 @@ def shard_batch(batch, mesh: Mesh):
 # attention QKV expand over 'model' (column parallel), their output
 # projections contract over 'model' (row parallel); XLA inserts the
 # all-reduce on the row-parallel outputs.
+#
+# Attention is split on the HEAD axis end-to-end: the packed QKV kernel is
+# laid out (E, 3, H, hd) (ops/attention.py) so P(None, None, 'model', None)
+# keeps each head's q/k/v on one device; the relative-bias embeddings
+# rel_e1/rel_e2 (H, S, hd) shard the same head axis; out_proj (E, E) with
+# E = H*hd heads-major contracts row-parallel along the SAME head grouping,
+# so the whole attention block runs without resharding until the out_proj
+# all-reduce.
 TP_RULES = [
     (re.compile(r".*linear1/kernel$"), P(None, MODEL_AXIS)),
     (re.compile(r".*linear2/kernel$"), P(MODEL_AXIS, None)),
-    (re.compile(r".*in_proj/kernel$"), P(None, MODEL_AXIS)),
-    (re.compile(r".*in_proj/bias$"), P(MODEL_AXIS)),
+    (re.compile(r".*in_proj/kernel$"), P(None, None, MODEL_AXIS, None)),
+    (re.compile(r".*in_proj/bias$"), P(None, MODEL_AXIS, None)),
+    (re.compile(r".*rel_e[12]$"), P(MODEL_AXIS, None, None)),
     (re.compile(r".*linear1/bias$"), P(MODEL_AXIS)),
     (re.compile(r".*out_proj/kernel$"), P(MODEL_AXIS, None)),
 ]

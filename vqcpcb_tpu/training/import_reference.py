@@ -132,9 +132,15 @@ def _import_relative_mha(sd: Dict, prefix: str, num_heads: int) -> Dict:
     """MultiheadAttentionCustom state -> ops.attention.MultiheadAttention
     params. e1/e2 are stored heads-major flattened (H*S, hd)
     (reference subsampled_relative_attention.py:20-21)."""
+    w = _t(sd[f"{prefix}in_proj_weight"]).T         # (E, 3E), [q|k|v] cols
+    b = _t(sd[f"{prefix}in_proj_bias"])             # (3E,)
+    e = w.shape[0]
+    hd = e // num_heads
     out = {
-        "in_proj": {"kernel": _t(sd[f"{prefix}in_proj_weight"]).T,
-                    "bias": _t(sd[f"{prefix}in_proj_bias"])},
+        # head-aligned kernel layout (E, 3, H, hd) — see
+        # ops/attention.py MultiheadAttention.setup
+        "in_proj": {"kernel": w.reshape(e, 3, num_heads, hd),
+                    "bias": b.reshape(3, num_heads, hd)},
         "out_proj": import_dense(sd, f"{prefix}out_proj."),
     }
     e1_key = f"{prefix}attn_bias.e1"
