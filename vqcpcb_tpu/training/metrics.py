@@ -3,7 +3,9 @@
 Reference: TensorBoard SummaryWriter per model_dir with scalars per epoch
 (VQCPCB/encoder.py:256-257,304-325). Here every epoch additionally lands in
 {model_dir}/metrics.jsonl so headless runs stay observable, and steps/sec +
-tokens/sec counters are first-class (the BASELINE metric).
+tokens/sec counters are first-class (the BASELINE metric). TensorBoard
+events are written by the dependency-free encoder in tb_writer.py — no
+torch/tensorflow in the metrics path.
 """
 from __future__ import annotations
 
@@ -20,11 +22,8 @@ class MetricsWriter:
         self.jsonl_path = os.path.join(self.model_dir, "metrics.jsonl")
         self._tb = None
         if plot:
-            try:
-                from torch.utils.tensorboard import SummaryWriter
-                self._tb = SummaryWriter(self.model_dir)
-            except Exception:
-                self._tb = None
+            from vqcpcb_tpu.training.tb_writer import SummaryWriter
+            self._tb = SummaryWriter(self.model_dir)
 
     def write(self, epoch_id: int, train: Optional[Dict], val: Optional[Dict]):
         record = {"epoch": epoch_id, "time": time.time()}
