@@ -141,3 +141,57 @@ def test_music21_corpus_is_cleanly_gated():
         pass
     with pytest.raises(ImportError):
         next(iter(corpus))
+
+
+def test_codes_per_window_chunking_bit_matches_when_window_fixed(tmp_path):
+    """When the code sequence fits the model window exactly, the window never
+    slides — greedy decoding with codes_per_window=1 (the reference's
+    per-code placement) and one chunk of ALL codes must be bit-identical,
+    since within-window conditioning is the same scan either way."""
+    trainer, x0 = build_decoder_trainer(tmp_path)
+    num_tokens_indices = (trainer.decoder.data_processor.num_tokens
+                          // trainer.decoder.total_upscaling)
+    rng = np.random.RandomState(0)
+    codes = rng.randint(0, 8, size=(1, num_tokens_indices)).astype(np.int32)
+
+    import jax as _jax
+    trainer._rng = _jax.random.PRNGKey(42)
+    one = trainer.generate_from_code_long(
+        codes, temperature=1.0, top_k=1, num_decodings=2, codes_per_window=1)
+    trainer._rng = _jax.random.PRNGKey(42)
+    chunked = trainer.generate_from_code_long(
+        codes, temperature=1.0, top_k=1, num_decodings=2,
+        codes_per_window=num_tokens_indices)
+    for a, b in zip(one, chunked):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_codes_per_window_sliding_chunks_shape_and_prefix(tmp_path):
+    """Sliding case: chunked decoding over a longer code sequence produces
+    the right shape, respects code_index bounds, and fewer sampler calls."""
+    trainer, _ = build_decoder_trainer(tmp_path)
+    num_tokens_indices = (trainer.decoder.data_processor.num_tokens
+                          // trainer.decoder.total_upscaling)
+    events_per_code = (trainer.decoder.total_upscaling
+                       // trainer.decoder.num_channels_decoder)
+    size = num_tokens_indices * 3 + 1
+    rng = np.random.RandomState(1)
+    codes = rng.randint(0, 8, size=(1, size)).astype(np.int32)
+
+    calls = []
+    orig = trainer._sample_fn
+
+    def counting(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    trainer._sample_fn = counting
+    out = trainer.generate_from_code_long(
+        codes, temperature=1.0, top_k=1, num_decodings=1,
+        code_index_start=1, code_index_end=size - 1,
+        codes_per_window=2)
+    chunked_calls = len(calls)
+    assert len(out) == 1
+    assert out[0].shape == ((size - 2) * events_per_code, 4)
+    # chunking halves (or better) the number of prefill+scan launches
+    assert chunked_calls <= (size - 2 + 1) // 2 + 1

@@ -340,10 +340,23 @@ class DecoderTrainer:
                                 num_decodings=1,
                                 code_index_start=None,
                                 code_index_end=None,
-                                exclude_meta_symbols=False) -> List[np.ndarray]:
+                                exclude_meta_symbols=False,
+                                codes_per_window: Optional[int] = None
+                                ) -> List[np.ndarray]:
         """Sliding-window long-form decoding (reference: decoder.py:729-854).
-        One KV prefill + incremental scan per code window, batched over
-        decodings. Returns token grids (list over batch)."""
+        One KV prefill + incremental scan per code WINDOW, batched over
+        decodings. Returns token grids (list over batch).
+
+        codes_per_window amortises the prefill: the window is held fixed
+        while `codes_per_window` consecutive codes are decoded in one scan
+        before sliding (the masks make within-window conditioning identical
+        to per-code decoding; what changes is window placement — a code at
+        chunk position j sees >= num_tokens_indices/2 - j future codes
+        instead of the reference's fixed num_tokens_indices/2). 1 recovers
+        the reference's slide-by-one placement exactly; the default
+        num_tokens_indices//4 (VQCPCB_CODES_PER_WINDOW overrides) keeps at
+        least half the reference's lookahead while cutting the number of
+        prefills ~4x."""
         encoding_indices = np.asarray(encoding_indices)
         size_encoding = encoding_indices.shape[1]
         total_upscaling = self.decoder.total_upscaling
@@ -355,6 +368,11 @@ class DecoderTrainer:
             code_index_start = 0
         if code_index_end is None:
             code_index_end = size_encoding
+        if codes_per_window is None:
+            codes_per_window = int(os.environ.get(
+                "VQCPCB_CODES_PER_WINDOW",
+                str(max(1, num_tokens_indices // 4))))
+        codes_per_window = max(1, codes_per_window)
 
         num_events_full = size_encoding * total_upscaling // num_channels
         events_before_start = code_index_start * total_upscaling // num_channels
@@ -366,23 +384,30 @@ class DecoderTrainer:
         codes_rep = np.repeat(encoding_indices, num_decodings, axis=0)
         forbidden = self._forbidden(exclude_meta_symbols)
 
-        for code_index in range(code_index_start, code_index_end):
+        code_index = code_index_start
+        while code_index < code_index_end:
             t_begin, t_end, t_relative = compute_start_end_times(
                 code_index, num_blocks=size_encoding,
                 num_blocks_model=num_tokens_indices)
+            # chunk must fit the window and the remaining range
+            chunk = min(codes_per_window,
+                        code_index_end - code_index,
+                        num_tokens_indices - t_relative)
             window_codes = jnp.asarray(codes_rep[:, t_begin:t_end])
             ev0, ev1 = t_begin * events_per_code, t_end * events_per_code
             window_tokens = jnp.asarray(chorale[:, ev0:ev1])
             self._rng, rng = jax.random.split(self._rng)
             sampled = self._sample_fn(
                 self.state.params, window_codes, window_tokens,
-                jnp.int32(t_relative * total_upscaling), total_upscaling, rng,
+                jnp.int32(t_relative * total_upscaling),
+                chunk * total_upscaling, rng,
                 float(temperature), int(top_k), float(top_p), forbidden)
             sampled = np.asarray(jax.device_get(sampled))
             rel0 = t_relative * events_per_code
             abs0 = code_index * events_per_code
-            chorale[:, abs0:abs0 + events_per_code] = \
-                sampled[:, rel0:rel0 + events_per_code]
+            n_ev = chunk * events_per_code
+            chorale[:, abs0:abs0 + n_ev] = sampled[:, rel0:rel0 + n_ev]
+            code_index += chunk
 
         return list(chorale[:, events_before_start:events_before_end])
 
