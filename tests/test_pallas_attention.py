@@ -49,3 +49,147 @@ def test_fused_attention_matches_xla(t, s, s_src, mask_kind, relative):
     want = xla_attention(q, k, v, mask, e1, e2)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
+
+
+# ---- trainable fused attention (custom VJP + in-kernel dropout) -------------
+
+def _inputs(t=24, s=24, s_src=24, relative=True, seed=0):
+    rng = np.random.RandomState(seed)
+    b, h, d = 2, 2, 8
+    q = jnp.asarray(rng.randn(b, h, t, d).astype(np.float32)) * (d ** -0.5)
+    k = jnp.asarray(rng.randn(b, h, s, d).astype(np.float32))
+    v = jnp.asarray(rng.randn(b, h, s, d).astype(np.float32))
+    e1 = e2 = None
+    if relative:
+        e1 = jnp.asarray(rng.randn(h, s_src, d).astype(np.float32))
+        e2 = jnp.asarray(rng.randn(h, s_src, d).astype(np.float32))
+    mask = causal_mask(t)
+    return q, k, v, mask, e1, e2
+
+
+def _fused_train_loss(q, k, v, mask, e1, e2, dropout=0.0, seed_val=0):
+    from vqcpcb_tpu.ops.pallas_attention import NEG_BIG, fused_attention_train
+    b, h, t, d = q.shape
+    s = k.shape[2]
+    mask_f = jnp.maximum(mask.astype(jnp.float32), NEG_BIG)
+    bias = (subsampled_relative_bias(q, e1, e2).reshape(b * h, t, s)
+            if e1 is not None else jnp.zeros((b * h, 1, 1), jnp.float32))
+    seed = jnp.full((1,), seed_val, jnp.int32)
+    interp = jax.default_backend() != "tpu"
+    out = fused_attention_train(dropout, interp, seed, q, k, v, mask_f, bias)
+    return (out * jnp.cos(jnp.arange(out.size).reshape(out.shape))).sum()
+
+
+def _xla_loss(q, k, v, mask, e1, e2):
+    out = xla_attention(q, k, v, mask, e1, e2)
+    return (out * jnp.cos(jnp.arange(out.size).reshape(out.shape))).sum()
+
+
+@pytest.mark.parametrize("relative", [True, False])
+def test_fused_train_grads_match_xla_no_dropout(relative):
+    q, k, v, mask, e1, e2 = _inputs(relative=relative)
+    args = (q, k, v) + ((e1, e2) if relative else ())
+
+    def f_fused(*a):
+        qq, kk, vv = a[:3]
+        ee1, ee2 = (a[3], a[4]) if relative else (None, None)
+        return _fused_train_loss(qq, kk, vv, mask, ee1, ee2, dropout=0.0)
+
+    def f_xla(*a):
+        qq, kk, vv = a[:3]
+        ee1, ee2 = (a[3], a[4]) if relative else (None, None)
+        return _xla_loss(qq, kk, vv, mask, ee1, ee2)
+
+    g_fused = jax.grad(f_fused, argnums=tuple(range(len(args))))(*args)
+    g_xla = jax.grad(f_xla, argnums=tuple(range(len(args))))(*args)
+    for gf, gx in zip(g_fused, g_xla):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gx),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_fused_train_dropout_statistics():
+    """In-kernel dropout zeroes ~rate of the weights and preserves the
+    softmax row-mean in expectation (inverted scaling).
+
+    HARDWARE-ONLY: the Mosaic TPU interpreter stubs prng_random_bits to
+    zeros on CPU (probed; all bits 0), so dropout semantics can only be
+    checked on a real chip — scripts/check_pallas_train_tpu.py runs this
+    same function there."""
+    if jax.default_backend() != "tpu":
+        pytest.skip("in-kernel PRNG requires real TPU (interpreter stubs it)")
+    from vqcpcb_tpu.ops.pallas_attention import fused_attention_train
+    b, h, t, d = 2, 4, 32, 8
+    q = jnp.zeros((b, h, t, d))
+    k = jnp.zeros((b, h, t, d))
+    v = jnp.asarray(np.eye(t, d, dtype=np.float32))[None, None].repeat(
+        b, 0).repeat(h, 1)
+    mask = jnp.zeros((t, t), jnp.float32)
+    bias = jnp.zeros((b * h, 1, 1), jnp.float32)
+    seed = jnp.full((1,), 7, jnp.int32)
+    # uniform weights 1/t; with dropout, kept entries scale by 1/(1-p)
+    rate = 0.25
+    interp = jax.default_backend() != "tpu"
+    out = fused_attention_train(rate, interp, seed, q, k, v, mask, bias)
+    got = np.asarray(out)
+    base = np.asarray(fused_attention_train(0.0, interp, seed, q, k, v, mask,
+                                            bias))
+    kept = got != 0.0
+    frac = kept[..., :].mean()
+    assert abs(frac - (1 - rate)) < 0.03
+    np.testing.assert_allclose(got[kept],
+                               (base / (1 - rate))[kept], rtol=1e-5)
+    # deterministic given the seed
+    out2 = fused_attention_train(rate, interp, seed, q, k, v, mask, bias)
+    np.testing.assert_array_equal(got, np.asarray(out2))
+
+
+def test_fused_train_dropout_vjp_finite_difference():
+    """With a fixed seed the dropped function is deterministic, so the
+    custom VJP must agree with central finite differences.
+
+    HARDWARE-ONLY (see test_fused_train_dropout_statistics)."""
+    if jax.default_backend() != "tpu":
+        pytest.skip("in-kernel PRNG requires real TPU (interpreter stubs it)")
+    q, k, v, mask, e1, e2 = _inputs(t=16, s=16, s_src=16)
+
+    def f(qq):
+        return _fused_train_loss(qq, k, v, mask, e1, e2, dropout=0.3,
+                                 seed_val=3)
+
+    g = jax.grad(f)(q)
+    rng = np.random.RandomState(5)
+    u = jnp.asarray(rng.randn(*q.shape).astype(np.float32))
+    eps = 1e-3
+    fd = (float(f(q + eps * u)) - float(f(q - eps * u))) / (2 * eps)
+    analytic = float((g * u).sum())
+    assert abs(fd - analytic) < 5e-2 * max(1.0, abs(analytic)), (fd, analytic)
+
+
+def test_mha_training_path_uses_fused_kernel(monkeypatch):
+    """MultiheadAttention(training=True) through the fused path matches the
+    XLA path at dropout=0 (interpret mode via monkeypatched gates)."""
+    import vqcpcb_tpu.ops.pallas_attention as pa
+    from vqcpcb_tpu.ops.attention import MultiheadAttention
+
+    monkeypatch.setattr(pa, "use_pallas_attention_train", lambda: True)
+    orig = pa.fused_attention_train
+
+    def interp(dropout_rate, interpret, *a):
+        return orig(dropout_rate, True, *a)
+
+    monkeypatch.setattr(pa, "fused_attention_train", interp)
+
+    mha = MultiheadAttention(
+        embed_dim=16, num_heads=2, attention_bias_type="relative_attention",
+        num_channels_k=4, num_events_k=4, num_channels_q=4, num_events_q=4,
+        dropout=0.0)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 16, 16).astype(np.float32))
+    params = mha.init(jax.random.PRNGKey(0), x, x, x)
+    mask = causal_mask(16)
+    out_fused, w = mha.apply(params, x, x, x, attn_mask=mask, training=True,
+                             rngs={"dropout": jax.random.PRNGKey(1)})
+    assert w is None
+    out_xla, _ = mha.apply(params, x, x, x, attn_mask=mask, training=False)
+    np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_xla),
+                               rtol=2e-4, atol=2e-5)

@@ -135,6 +135,35 @@ class MultiheadAttention(nn.Module):
                 out = out.transpose(0, 2, 1, 3).reshape(b, t, h * d)
                 return self.out_proj(out.astype(query.dtype)), None
 
+        # opt-in fused TRAINING path: custom-VJP kernels keep scores/weights
+        # in VMEM in both passes, with in-kernel attention-weight dropout;
+        # the relative-bias skew stays in XLA so e1/e2 gradients ride its
+        # scatter-free transpose (pallas_attention.py)
+        if training:
+            from vqcpcb_tpu.ops.pallas_attention import (
+                NEG_BIG, fused_attention_train, use_pallas_attention_train)
+            if use_pallas_attention_train():
+                b, h, t, d = q.shape
+                s = k.shape[2]
+                mask_f = (jnp.zeros((t, s), jnp.float32) if attn_mask is None
+                          else jnp.maximum(attn_mask.astype(jnp.float32),
+                                           NEG_BIG))
+                if self.e1 is not None:
+                    bias = subsampled_relative_bias(
+                        q, self.e1, self.e2).reshape(b * h, t, s)
+                else:
+                    bias = jnp.zeros((b * h, 1, 1), jnp.float32)
+                if self.dropout > 0.0:
+                    seed = jax.random.randint(
+                        self.make_rng("dropout"), (1,), 0,
+                        jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
+                else:
+                    seed = jnp.zeros((1,), jnp.int32)
+                out = fused_attention_train(
+                    float(self.dropout), False, seed, q, k, v, mask_f, bias)
+                out = out.transpose(0, 2, 1, 3).reshape(b, t, h * d)
+                return self.out_proj(out.astype(query.dtype)), None
+
         scores = jnp.einsum("bhtd,bhsd->bhts", q, k,
                             preferred_element_type=jnp.float32)
         if attn_mask is not None:
@@ -173,6 +202,10 @@ class MultiheadAttention(nn.Module):
           (B, 1, E) attention output.
         """
         q = self.project_q(query_t)[:, :, 0, :]            # (B, H, hd)
+        # the per-(b,h) matvec contractions here lower off the MXU already
+        # (an explicit broadcast-multiply-reduce variant measured EXACTLY
+        # the same, BENCHMARKS.md); the step's real cost was the bias-row
+        # gather, now a dynamic_slice (relative_attention.py)
         scores = jnp.einsum("bhd,bhsd->bhs", q, k_cache,
                             preferred_element_type=jnp.float32)
         if self.e1 is not None:
@@ -183,8 +216,8 @@ class MultiheadAttention(nn.Module):
             key_len_mask = jnp.arange(s) <= t
         scores = jnp.where(key_len_mask[None, None], scores, -jnp.inf)
         weights = jax.nn.softmax(scores, axis=-1)
-        out = jnp.einsum("bhs,bhsd->bhd", weights.astype(v_cache.dtype), v_cache,
-                         preferred_element_type=jnp.float32)
+        out = jnp.einsum("bhs,bhsd->bhd", weights.astype(v_cache.dtype),
+                         v_cache, preferred_element_type=jnp.float32)
         b, h, d = out.shape
         out = out.reshape(b, 1, h * d).astype(query_t.dtype)
         return self.out_proj(out)

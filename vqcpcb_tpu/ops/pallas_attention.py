@@ -92,3 +92,177 @@ def fused_attention(q: jnp.ndarray,
 def use_pallas_attention() -> bool:
     return (os.environ.get("VQCPCB_PALLAS_ATTENTION") == "1"
             and jax.default_backend() == "tpu")
+
+
+def use_pallas_attention_train() -> bool:
+    return (os.environ.get("VQCPCB_PALLAS_ATTENTION_TRAIN") == "1"
+            and jax.default_backend() == "tpu")
+
+
+# =============================================================================
+# Trainable fused attention: custom-VJP kernels with in-kernel dropout.
+#
+# The reference's hot op (multihead_attention_custom.py:314-346) materialises
+# the (T, S) score matrix through memory in forward AND backward; here both
+# passes keep scores/weights in VMEM per (batch*head) grid step. The learned
+# relative bias enters as an explicit input (built by the XLA-side skew,
+# relative_attention.py) so its gradient — returned as d(scores) — flows back
+# to e1/e2 through JAX's autodiff of the skew, whose transpose is
+# slice/reshape/pad (scatter-free). Attention-weight dropout runs in-kernel
+# (pltpu.prng_*); the backward kernel regenerates the identical mask from the
+# same per-grid-step seed.
+# =============================================================================
+
+import functools
+
+import numpy as np
+
+
+def _dropout_keep(shape, rate):
+    """Regenerable in-kernel dropout mask: True = keep."""
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    threshold = np.uint32(min(int(round(rate * 2.0 ** 32)), 2 ** 32 - 1))
+    return bits >= threshold
+
+
+def _train_fwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, bias_ref,
+                      out_ref, *, dropout_rate):
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    scores = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+    scores = scores + mask_ref[:] + bias_ref[0]
+    w = jax.nn.softmax(scores, axis=-1)
+    if dropout_rate > 0.0:
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+        keep = _dropout_keep(w.shape, dropout_rate)
+        w = jnp.where(keep, w * (1.0 / (1.0 - dropout_rate)), 0.0)
+    out_ref[0] = jnp.dot(w, v, preferred_element_type=jnp.float32
+                         ).astype(out_ref.dtype)
+
+
+def _train_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, bias_ref,
+                      do_ref, dq_ref, dk_ref, dv_ref, ds_ref, *,
+                      dropout_rate):
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    scores = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+    scores = scores + mask_ref[:] + bias_ref[0]
+    w = jax.nn.softmax(scores, axis=-1)
+    if dropout_rate > 0.0:
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+        keep = _dropout_keep(w.shape, dropout_rate)
+        inv = 1.0 / (1.0 - dropout_rate)
+        w_drop = jnp.where(keep, w * inv, 0.0)
+    else:
+        keep, inv, w_drop = None, 1.0, w
+    dv_ref[0] = jnp.dot(w_drop.T, do, preferred_element_type=jnp.float32
+                        ).astype(dv_ref.dtype)
+    dw = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
+    if keep is not None:
+        dw = jnp.where(keep, dw * inv, 0.0)
+    # softmax VJP: ds = w * (dw - sum(dw * w))
+    ds = w * (dw - jnp.sum(dw * w, axis=-1, keepdims=True))
+    ds_ref[0] = ds.astype(ds_ref.dtype)
+    dq_ref[0] = jnp.dot(ds, k, preferred_element_type=jnp.float32
+                        ).astype(dq_ref.dtype)
+    dk_ref[0] = jnp.dot(ds.T, q, preferred_element_type=jnp.float32
+                        ).astype(dk_ref.dtype)
+
+
+def _flat_specs(t, s, d, bt, bs):
+    return [
+        pl.BlockSpec(memory_space=pltpu.SMEM),                      # seed
+        pl.BlockSpec((1, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, s, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, s, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((t, s), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bt, bs), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def fused_attention_train(dropout_rate, interpret, seed, q, k, v, mask, bias):
+    """Differentiable fused attention.
+
+    dropout_rate/interpret: static; seed: int32 scalar array (dropout PRNG);
+    q: (B, H, T, d) already scaled; k/v: (B, H, S, d); mask: (T, S) additive
+    (finite — clamp -inf first, see fused_attention); bias: (B*H, T, S) or a
+    (B*H, 1, 1) zero placeholder. Returns (B, H, T, d) in q.dtype."""
+    out, _ = _fused_attention_train_fwd(
+        dropout_rate, interpret, seed, q, k, v, mask, bias)
+    return out
+
+
+def _interpret_mode(interpret):
+    # the generic (HLO) interpreter lacks the TPU prng primitives; use the
+    # Mosaic TPU interpreter for CPU-side testing of the dropout kernels
+    return pltpu.InterpretParams() if interpret is True else interpret
+
+
+def _fused_attention_train_fwd(dropout_rate, interpret, seed, q, k, v, mask,
+                               bias):
+    interpret = _interpret_mode(interpret)
+    b, h, t, d = q.shape
+    s = k.shape[2]
+    qf = q.reshape(b * h, t, d)
+    kf = k.reshape(b * h, s, d)
+    vf = v.reshape(b * h, s, d)
+    out = pl.pallas_call(
+        functools.partial(_train_fwd_kernel, dropout_rate=dropout_rate),
+        grid=(b * h,),
+        in_specs=_flat_specs(t, s, d, bias.shape[1], bias.shape[2]),
+        out_specs=pl.BlockSpec((1, t, d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * h, t, d), q.dtype),
+        interpret=interpret,
+    )(seed, qf, kf, vf, mask, bias)
+    return out.reshape(b, h, t, d), (seed, q, k, v, mask, bias)
+
+
+def _fused_attention_train_bwd(dropout_rate, interpret, residuals, g):
+    interpret = _interpret_mode(interpret)
+    seed, q, k, v, mask, bias = residuals
+    b, h, t, d = q.shape
+    s = k.shape[2]
+    qf = q.reshape(b * h, t, d)
+    kf = k.reshape(b * h, s, d)
+    vf = v.reshape(b * h, s, d)
+    gf = g.reshape(b * h, t, d)
+    dq, dk, dv, ds = pl.pallas_call(
+        functools.partial(_train_bwd_kernel, dropout_rate=dropout_rate),
+        grid=(b * h,),
+        in_specs=_flat_specs(t, s, d, bias.shape[1], bias.shape[2]) + [
+            pl.BlockSpec((1, t, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, t, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, s), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, t, d), q.dtype),
+            jax.ShapeDtypeStruct((b * h, s, d), k.dtype),
+            jax.ShapeDtypeStruct((b * h, s, d), v.dtype),
+            jax.ShapeDtypeStruct((b * h, t, s), jnp.float32),
+        ],
+        interpret=interpret,
+    )(seed, qf, kf, vf, mask, bias, gf)
+    dseed = np.zeros((), jax.dtypes.float0)
+    dmask = ds.sum(axis=0)                       # mask broadcasts over (b, h)
+    dbias = ds if bias.shape[1] == t else jnp.zeros_like(bias)
+    return (dseed, dq.reshape(q.shape), dk.reshape(k.shape),
+            dv.reshape(v.shape), dmask, dbias)
+
+
+fused_attention_train.defvjp(_fused_attention_train_fwd,
+                             _fused_attention_train_bwd)

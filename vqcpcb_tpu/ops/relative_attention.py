@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -115,13 +116,22 @@ def subsampled_relative_bias_row(q_t: jnp.ndarray,
     num_heads, seq_len_src, head_dim = e1.shape
     ratio = seq_len_tgt // seq_len_src
     block = t // ratio
+    r1 = jnp.einsum("bhd,hmd->bhm", q_t, e1)
+    r2 = jnp.einsum("bhd,hmd->bhm", q_t, e2)
+    # Both index maps are SHIFTS of the m axis (idx1 = s + (S-1-block),
+    # idx2 = s - block), so the row is a dynamic_slice of zero-padded r1/r2
+    # at the same start. A take_along_axis here lowers to a serialized TPU
+    # gather — profiled at 2.4ms per step per gather at decode batch 64,
+    # 91% of the whole sampler step (the forward-pass twin of the
+    # scatter-in-backward rule; see CLAUDE.md).
+    pad = jnp.zeros(r1.shape[:2] + (seq_len_src - 1,), r1.dtype)
+    r1p = jnp.concatenate([r1, pad], axis=-1)   # r1p[i] = r1[i], i < S
+    r2p = jnp.concatenate([pad, r2], axis=-1)   # r2p[i] = r2[i - (S-1)]
+    start = (seq_len_src - 1) - block
+    bias1 = jax.lax.dynamic_slice_in_dim(r1p, start, seq_len_src, axis=2)
+    bias2 = jax.lax.dynamic_slice_in_dim(r2p, start, seq_len_src, axis=2)
     s = jnp.arange(seq_len_src)
     valid1 = s <= block
     valid2 = s > block
-    idx1 = jnp.where(valid1, (seq_len_src - 1) - block + s, 0)
-    idx2 = jnp.where(valid2, s - block, 0)
-    r1 = jnp.einsum("bhd,hmd->bhm", q_t, e1)
-    r2 = jnp.einsum("bhd,hmd->bhm", q_t, e2)
-    bias1 = jnp.take_along_axis(r1, jnp.broadcast_to(idx1[None, None], r1.shape[:2] + (seq_len_src,)), axis=-1)
-    bias2 = jnp.take_along_axis(r2, jnp.broadcast_to(idx2[None, None], r2.shape[:2] + (seq_len_src,)), axis=-1)
-    return jnp.where(valid1[None, None], bias1, 0.0) + jnp.where(valid2[None, None], bias2, 0.0)
+    return jnp.where(valid1[None, None], bias1, 0.0) + \
+        jnp.where(valid2[None, None], bias2, 0.0)
