@@ -136,8 +136,10 @@ def test_fused_train_dropout_statistics():
     kept = got != 0.0
     frac = kept[..., :].mean()
     assert abs(frac - (1 - rate)) < 0.03
+    # rtol covers the MXU's single-pass-bf16 rounding of the in-kernel
+    # w @ v dot on real hardware (measured 2e-3; interpret mode is exact)
     np.testing.assert_allclose(got[kept],
-                               (base / (1 - rate))[kept], rtol=1e-5)
+                               (base / (1 - rate))[kept], rtol=5e-3)
     # deterministic given the seed
     out2 = fused_attention_train(rate, interp, seed, q, k, v, mask, bias)
     np.testing.assert_array_equal(got, np.asarray(out2))
