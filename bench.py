@@ -164,7 +164,7 @@ def main():
             from __graft_entry__ import _flagship_decoder
             from vqcpcb_tpu.models.decoder import Decoder
 
-            sbatch = int(os.environ.get("BENCH_SAMPLER_BATCH", "8"))
+            sbatch = int(os.environ.get("BENCH_SAMPLER_BATCH", "64"))
             decoder = _flagship_decoder()
             src = jnp.asarray(rng.randint(0, 16, size=(sbatch, 24)))
             toks = jnp.zeros((sbatch, 96, 4), dtype=jnp.int32)
