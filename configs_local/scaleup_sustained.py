@@ -71,8 +71,8 @@ config = {
         ),
     },
 
-    'lr': 3e-4,
-    'schedule_lr': True,
+    'lr': 1e-4,
+    'schedule_lr': False,
     'batch_size': 64,           # sharded over the 'data' mesh axis
     'num_batches': 128,
     'num_epochs': 200,

@@ -120,6 +120,39 @@ def test_sampler_preserves_fixed_prefix():
     np.testing.assert_array_equal(np.asarray(got), want)
 
 
+def test_bf16_kv_cache_knob(monkeypatch):
+    """VQCPCB_KV_DTYPE=bfloat16 halves KV-cache HBM traffic in the sampler.
+
+    Bit-match with the f32 path is explicitly NOT guaranteed (that is why the
+    knob is off by default); this asserts the caches really change dtype and
+    the decode-step logits stay within bf16 tolerance of the f32 path."""
+    decoder = make_decoder()
+    params, source, _ = init_decoder(decoder)
+    tokens = jnp.asarray(np.random.RandomState(7).randint(
+        0, 5, size=(2, NUM_EVENTS, 4)), dtype=jnp.int32)
+
+    def logits_at(module, source, tokens, t):
+        caches, crosses = module.prefill(source, tokens)
+        tokens_flat = tokens.reshape(tokens.shape[0], -1)
+        prev = tokens_flat[:, t - 1]
+        x_t = module._embed_input_at(prev, jnp.int32(t))[:, None, :]
+        out, new_caches = module._decode_one(x_t, caches, crosses, jnp.int32(t))
+        return module._head_logits_at(out[:, 0], jnp.int32(t)), caches
+
+    t = 13
+    ref_logits, ref_caches = decoder.apply(
+        params, source, tokens, t, method=logits_at)
+    assert ref_caches[0][0].dtype == jnp.float32
+
+    monkeypatch.setenv("VQCPCB_KV_DTYPE", "bfloat16")
+    got_logits, got_caches = decoder.apply(
+        params, source, tokens, t, method=logits_at)
+    assert got_caches[0][0].dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(got_logits[:, :VOCABS[t % 4]]),
+                               np.asarray(ref_logits[:, :VOCABS[t % 4]]),
+                               rtol=0.05, atol=0.05)
+
+
 def test_forbidden_indices_never_sampled():
     decoder = make_decoder()
     params, source, _ = init_decoder(decoder)

@@ -291,17 +291,28 @@ class Decoder(nn.Module):
         Returns (caches, crosses): caches = per-layer (k, v) of shape
         (B, H, T, hd); crosses = per-layer cross context — (k_mem, v_mem) for
         attention layers, the (B, T, E) aligned branch for diagonal layers."""
+        import os
+
         memory = self.encode_memory(source, training=False)
         tgt_seq = self.shift_with_sos(self.embed_target(target))
         t_len = tgt_seq.shape[1]
         s_len = memory.shape[1]
         tgt_mask = causal_mask(t_len)
         mem_mask = self.cross_mask(s_len, t_len)
+        # the decode step is HBM-bound on cache reads (BENCHMARKS.md round-2
+        # profile); bf16 caches halve that traffic. Scores still accumulate
+        # in f32 (attention.step's preferred_element_type). Off by default:
+        # it breaks bit-match with the f32 full forward.
+        cache_dt = (jnp.bfloat16
+                    if os.environ.get("VQCPCB_KV_DTYPE") == "bfloat16"
+                    else None)
         out = tgt_seq
         caches, crosses = [], []
         for layer in self.decoder_transformer.layers:
-            out, kv, cross = layer.capture(out, memory, tgt_mask, mem_mask)
-            caches.append(kv)
+            out, (k, v), cross = layer.capture(out, memory, tgt_mask, mem_mask)
+            if cache_dt is not None:
+                k, v = k.astype(cache_dt), v.astype(cache_dt)
+            caches.append((k, v))
             crosses.append(cross)
         return caches, crosses
 
@@ -324,8 +335,10 @@ class Decoder(nn.Module):
         for layer, (k_cache, v_cache), cross in zip(
                 self.decoder_transformer.layers, caches, crosses):
             k_t, v_t = layer.self_attn.project_kv(out)      # (B, H, 1, hd)
-            k_cache = jax.lax.dynamic_update_slice_in_dim(k_cache, k_t, t, axis=2)
-            v_cache = jax.lax.dynamic_update_slice_in_dim(v_cache, v_t, t, axis=2)
+            k_cache = jax.lax.dynamic_update_slice_in_dim(
+                k_cache, k_t.astype(k_cache.dtype), t, axis=2)
+            v_cache = jax.lax.dynamic_update_slice_in_dim(
+                v_cache, v_t.astype(v_cache.dtype), t, axis=2)
             if aligned:
                 cross_t = jax.lax.dynamic_slice_in_dim(cross, t, 1, axis=1)
                 out = layer.step(out, k_cache, v_cache, cross_t, t,
