@@ -120,6 +120,28 @@ def test_sampler_preserves_fixed_prefix():
     np.testing.assert_array_equal(np.asarray(got), want)
 
 
+@pytest.mark.parametrize("chunk", ["5", "8"])
+def test_chunked_cache_sampler_matches_full_scan(monkeypatch, chunk):
+    """Prefix-sized KV caches (grown chunk-by-chunk) must reproduce the
+    full-length scan exactly — masked tail rows contribute exact zeros."""
+    decoder = make_decoder()
+    params, source, _ = init_decoder(decoder)
+    tokens_init = jnp.asarray(np.random.RandomState(5).randint(
+        0, 5, size=(2, NUM_EVENTS, 4)), dtype=jnp.int32)
+    start = 6  # non-chunk-aligned start, fixed prefix kept
+
+    monkeypatch.setenv("VQCPCB_SAMPLER_CHUNK", "0")   # single full scan
+    want = decoder.apply(
+        params, source, tokens_init, start, NUM_EVENTS * 4 - start,
+        jax.random.PRNGKey(0), 1.0, 1, 0.0, method=Decoder.sample_range)
+
+    monkeypatch.setenv("VQCPCB_SAMPLER_CHUNK", chunk)
+    got = decoder.apply(
+        params, source, tokens_init, start, NUM_EVENTS * 4 - start,
+        jax.random.PRNGKey(0), 1.0, 1, 0.0, method=Decoder.sample_range)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 def test_bf16_kv_cache_knob(monkeypatch):
     """VQCPCB_KV_DTYPE=bfloat16 halves KV-cache HBM traffic in the sampler.
 

@@ -363,14 +363,17 @@ class Decoder(nn.Module):
         """Sample flat positions [start, start+num_steps) autoregressively.
 
         source: (B, S) codes (or (B, S, z)); tokens_init: (B, E, C) int32 with
-        fixed context outside the sampled range; start: traced int32;
-        num_steps: static int. forbidden_indices: optional (C, n) int array of
-        token ids excluded per channel (meta symbols, decoder.py:624-629).
+        fixed context outside the sampled range; start: CONCRETE int (the
+        cache prefixes below are sized from it); num_steps: static int.
+        forbidden_indices: optional (C, n) int array of token ids excluded per
+        channel (meta symbols, decoder.py:624-629).
         Returns the updated (B, E, C) tokens."""
         from vqcpcb_tpu.ops.sampling import sample_categorical
 
+        start = int(start)
         b, num_events, c = tokens_init.shape
-        tokens_flat = tokens_init.reshape(b, num_events * c)
+        seq_len = num_events * c
+        tokens_flat = tokens_init.reshape(b, seq_len)
         caches, crosses = self.prefill(source, tokens_init)
 
         vmax = max(self.data_processor.num_tokens_per_channel)
@@ -408,7 +411,35 @@ class Decoder(nn.Module):
         # unrolling amortises per-iteration overhead of the many small ops in
         # a decode step (the scan is latency-bound at small decode batches)
         unroll = int(os.environ.get("VQCPCB_SAMPLER_UNROLL", "1"))
-        (tokens_flat, _, _), _ = jax.lax.scan(
-            step, (tokens_flat, caches, rng), jnp.arange(num_steps),
-            unroll=unroll)
+
+        # Chunked cache prefixes: the step is HBM-bound on cache reads, and a
+        # causal step at position t never reads rows > t — so carry only a
+        # prefix of each cache, grown by `chunk` rows per scan. Rows in
+        # [start+pos, prefix) are written before their first read, so the
+        # zero padding is never observed; masked tail rows contribute exact
+        # zeros, keeping the greedy bit-match with the full-length scan.
+        # VQCPCB_SAMPLER_CHUNK=0 restores the single full-length scan.
+        chunk = int(os.environ.get("VQCPCB_SAMPLER_CHUNK", "64"))
+        if chunk <= 0:
+            chunk = num_steps
+
+        def resize(a, n):
+            if a.shape[2] > n:
+                return a[:, :, :n]
+            if a.shape[2] < n:
+                pad = jnp.zeros(a.shape[:2] + (n - a.shape[2],) + a.shape[3:],
+                                a.dtype)
+                return jnp.concatenate([a, pad], axis=2)
+            return a
+
+        pos = 0
+        while pos < num_steps:
+            ck = min(chunk, num_steps - pos)
+            prefix = min(start + pos + ck, seq_len)
+            caches = [(resize(k, prefix), resize(v, prefix))
+                      for k, v in caches]
+            (tokens_flat, caches, rng), _ = jax.lax.scan(
+                step, (tokens_flat, caches, rng),
+                jnp.arange(pos, pos + ck), unroll=unroll)
+            pos += ck
         return tokens_flat.reshape(b, num_events, c)

@@ -206,12 +206,14 @@ class MultiheadAttention(nn.Module):
         # (an explicit broadcast-multiply-reduce variant measured EXACTLY
         # the same, BENCHMARKS.md); the step's real cost was the bias-row
         # gather, now a dynamic_slice (relative_attention.py)
+        s = k_cache.shape[2]
         scores = jnp.einsum("bhd,bhsd->bhs", q, k_cache,
                             preferred_element_type=jnp.float32)
         if self.e1 is not None:
+            # caches may be prefix-sized (chunked sampler): positions >= s are
+            # causally masked anyway, so the bias row is simply truncated
             scores = scores + subsampled_relative_bias_row(
-                q, self.e1, self.e2, t, seq_len_tgt)
-        s = k_cache.shape[2]
+                q, self.e1, self.e2, t, seq_len_tgt)[..., :s]
         if key_len_mask is None:
             key_len_mask = jnp.arange(s) <= t
         scores = jnp.where(key_len_mask[None, None], scores, -jnp.inf)

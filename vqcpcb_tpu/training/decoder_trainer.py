@@ -147,7 +147,7 @@ class DecoderTrainer:
         self._eval_step = eval_step
 
         @functools.partial(jax.jit, static_argnames=(
-            "num_steps", "temperature", "top_k", "top_p"))
+            "start", "num_steps", "temperature", "top_k", "top_p"))
         def sample_fn(params, codes, tokens, start, num_steps, rng,
                       temperature, top_k, top_p, forbidden=None):
             return decoder.apply(
@@ -317,7 +317,7 @@ class DecoderTrainer:
         self._rng, rng = jax.random.split(self._rng)
         num_steps = self.decoder.data_processor.num_tokens
         sampled = self._sample_fn(
-            self.state.params, codes, tokens, jnp.int32(0), num_steps, rng,
+            self.state.params, codes, tokens, 0, num_steps, rng,
             float(temperature), int(top_k), float(top_p),
             self._forbidden(exclude_meta_symbols))
         sampled = np.asarray(jax.device_get(sampled))
@@ -399,7 +399,7 @@ class DecoderTrainer:
             self._rng, rng = jax.random.split(self._rng)
             sampled = self._sample_fn(
                 self.state.params, window_codes, window_tokens,
-                jnp.int32(t_relative * total_upscaling),
+                int(t_relative * total_upscaling),
                 chunk * total_upscaling, rng,
                 float(temperature), int(top_k), float(top_p), forbidden)
             sampled = np.asarray(jax.device_get(sampled))
