@@ -25,7 +25,16 @@ config = {
     'dataloader_generator_kwargs': dict(num_tokens_per_block=num_tokens_per_block,
                                         num_blocks_left=num_block_left,
                                         num_blocks_right=num_block_right,
-                                        negative_sampling_method='same_sequence',
+                                        # 'same_sequence' negatives are an
+                                        # information-free task on the
+                                        # synthetic corpus (windows of one
+                                        # random chorale are statistically
+                                        # interchangeable) -> CPC cannot
+                                        # learn and the codebook collapses;
+                                        # measured twice (lr 3e-4 and 1e-4),
+                                        # see BENCHMARKS.md. 'random'
+                                        # negatives make the task solvable.
+                                        negative_sampling_method='random',
                                         num_negative_samples=15,
                                         sequences_size=num_beats,
                                         ),

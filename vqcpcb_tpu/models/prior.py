@@ -91,16 +91,26 @@ class PriorRelative(nn.Module):
         self-attention K/V caches. x: (B, T) code indices.
 
         Returns caches: per-layer (k, v) of shape (B, H, T, hd)."""
+        import os
+
         b, num_tokens = x.shape
         x_seq = self.linear(self.embedding(x))
         sos = jnp.tile(self.sos, (b, 1, 1))
         x_seq = jnp.concatenate([sos, x_seq[:, :-1]], axis=1)
         mask = causal_mask(num_tokens)
+        # same HBM-traffic knob as Decoder.prefill: scores still accumulate
+        # in f32, but bf16 halves the cache-read bytes (off by default — it
+        # breaks bit-match with the f32 full forward)
+        cache_dt = (jnp.bfloat16
+                    if os.environ.get("VQCPCB_KV_DTYPE") == "bfloat16"
+                    else None)
         out = x_seq
         caches = []
         for layer in self.transformer.layers:
-            out, kv = layer.capture(out, src_mask=mask)
-            caches.append(kv)
+            out, (k, v) = layer.capture(out, src_mask=mask)
+            if cache_dt is not None:
+                k, v = k.astype(cache_dt), v.astype(cache_dt)
+            caches.append((k, v))
         return caches
 
     def sample_window(self,
@@ -113,13 +123,17 @@ class PriorRelative(nn.Module):
         """Sample window positions [start, start+num_steps) autoregressively.
 
         x_init: (B, T) int codes with fixed context in [0, start); start:
-        traced int32; num_steps: static int. Tempering follows the reference
+        CONCRETE int (cache prefixes are sized from it); num_steps: static
+        int. Tempering follows the reference
         (prior_relative.py:339-344): p ∝ softmax(logits)^temperature, i.e. the
         logits are *multiplied* by temperature. top_k is a testing/extension
         knob (greedy decode at top_k=1); the reference has no filtering here.
         Returns the updated (B, T) codes."""
+        import os
+
         from vqcpcb_tpu.ops.sampling import sample_categorical
 
+        start = int(start)
         b, num_tokens = x_init.shape
         caches = self.prefill(x_init)
 
@@ -138,9 +152,9 @@ class PriorRelative(nn.Module):
                     self.transformer.layers, caches):
                 k_t, v_t = layer.self_attn.project_kv(out)
                 k_cache = jax.lax.dynamic_update_slice_in_dim(
-                    k_cache, k_t, t, axis=2)
+                    k_cache, k_t.astype(k_cache.dtype), t, axis=2)
                 v_cache = jax.lax.dynamic_update_slice_in_dim(
-                    v_cache, v_t, t, axis=2)
+                    v_cache, v_t.astype(v_cache.dtype), t, axis=2)
                 out = layer.step(out, k_cache, v_cache, t, num_tokens)
                 new_caches.append((k_cache, v_cache))
             logits = self.pre_softmax(out[:, 0])              # (B, V)
@@ -151,6 +165,31 @@ class PriorRelative(nn.Module):
                 x, new_code[:, None].astype(x.dtype), t, axis=1)
             return (x, new_caches, rng), None
 
-        (x, _, _), _ = jax.lax.scan(
-            step_fn, (x_init, caches, rng), jnp.arange(num_steps))
+        # chunked cache prefixes, as in Decoder.sample_range: a causal step
+        # at position t never reads cache rows > t, so carry a prefix grown
+        # by `chunk` rows per scan (bit-identical; VQCPCB_SAMPLER_CHUNK=0
+        # restores the single full-length scan)
+        chunk = int(os.environ.get("VQCPCB_SAMPLER_CHUNK", "64"))
+        if chunk <= 0:
+            chunk = num_steps
+
+        def resize(a, n):
+            if a.shape[2] > n:
+                return a[:, :, :n]
+            if a.shape[2] < n:
+                pad = jnp.zeros(a.shape[:2] + (n - a.shape[2],) + a.shape[3:],
+                                a.dtype)
+                return jnp.concatenate([a, pad], axis=2)
+            return a
+
+        x = x_init
+        pos = 0
+        while pos < num_steps:
+            ck = min(chunk, num_steps - pos)
+            prefix = min(start + pos + ck, num_tokens)
+            caches = [(resize(k, prefix), resize(v, prefix))
+                      for k, v in caches]
+            (x, caches, rng), _ = jax.lax.scan(
+                step_fn, (x, caches, rng), jnp.arange(pos, pos + ck))
+            pos += ck
         return x

@@ -15,6 +15,7 @@ N-chip with XLA inserting the gradient all-reduce.
 from __future__ import annotations
 
 import functools
+import os
 import time
 from itertools import islice
 from typing import Dict, Iterator, Optional
@@ -152,12 +153,20 @@ class VQCPCEncoderTrainer:
             loss, metrics = out
             return loss, (metrics, batch_stats)
 
+        # VQCPCB_REMAT=1 rematerialises the model forward in the backward
+        # pass — trades FLOPs for HBM; the scale-up geometry (batch 64,
+        # d_model 512, random negatives) otherwise exceeds a v5e's 16G with
+        # its FFN activation temps (same knob as the decoder trainer)
+        use_remat = os.environ.get("VQCPCB_REMAT") == "1"
+        fwd_for_grad = (jax.checkpoint(forward, static_argnums=(4, 5))
+                        if use_remat else forward)
+
         @functools.partial(jax.jit, static_argnames=("corrupt_labels",),
                            donate_argnums=(0,))
         def train_step(state: TrainState, batch, rng, corrupt_labels=False):
             grad_fn = jax.value_and_grad(
-                lambda p: forward(p, state.batch_stats, batch, rng,
-                                  True, corrupt_labels), has_aux=True)
+                lambda p: fwd_for_grad(p, state.batch_stats, batch, rng,
+                                       True, corrupt_labels), has_aux=True)
             (loss, (metrics, new_bs)), grads = grad_fn(state.params)
             updates, new_opt = tx.update(grads, state.opt_state, state.params)
             new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)

@@ -104,7 +104,7 @@ class PriorTrainer:
         self._logits_fn = logits_fn
 
         @functools.partial(jax.jit,
-                           static_argnames=("num_steps", "temperature"))
+                           static_argnames=("start", "num_steps", "temperature"))
         def sample_window_fn(params, window, start, num_steps, rng,
                              temperature):
             return prior.apply({"params": params}, window, start, num_steps,
@@ -228,7 +228,7 @@ class PriorTrainer:
         def sample(window_np, start, num_steps):
             self._rng, rng = jax.random.split(self._rng)
             out = self._sample_window_fn(
-                self.state.params, jnp.asarray(window_np), jnp.int32(start),
+                self.state.params, jnp.asarray(window_np), int(start),
                 num_steps, rng, float(temperature))
             return np.asarray(jax.device_get(out))
 
