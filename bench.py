@@ -174,7 +174,7 @@ def main():
             n_tok = 96 * 4
             sample = jax.jit(
                 lambda p, s, t, r: decoder.apply(
-                    p, s, t, jnp.int32(0), n_tok, r, 0.95, 0, 0.8, None,
+                    p, s, t, 0, n_tok, r, 0.95, 0, 0.8, None,
                     method=Decoder.sample_range))
             jax.device_get(sample(dvars, src, toks, jax.random.PRNGKey(0)))
             reps = 3

@@ -43,7 +43,7 @@ def main():
     # geometry: full first window, then half-window chunks) ------------------
     import functools
 
-    @functools.partial(jax.jit, static_argnames=("num_steps",))
+    @functools.partial(jax.jit, static_argnames=("start", "num_steps"))
     def sample_window(p, window, start, num_steps, rng):
         return prior.apply({"params": p}, window, start, num_steps, rng, 1.0,
                            method=PriorRelative.sample_window)
@@ -53,7 +53,7 @@ def main():
         x = np.zeros((batch, num_tokens_total), dtype=np.int32)
         rng, r = jax.random.split(rng)
         x[:, :L] = np.asarray(jax.device_get(
-            sample_window(params, jnp.asarray(x[:, :L]), jnp.int32(0), L, r)))
+            sample_window(params, jnp.asarray(x[:, :L]), 0, L, r)))
         pos = L
         while pos < num_tokens_total:
             n = min(chunk, num_tokens_total - pos)
@@ -61,7 +61,7 @@ def main():
             window = np.concatenate([ctx, np.zeros((batch, n), np.int32)], 1)
             rng, r = jax.random.split(rng)
             out = np.asarray(jax.device_get(sample_window(
-                params, jnp.asarray(window), jnp.int32(L - n), n, r)))
+                params, jnp.asarray(window), int(L - n), n, r)))
             x[:, pos:pos + n] = out[:, L - n:]
             pos += n
         return x

@@ -38,7 +38,7 @@ def main():
 
     sample = jax.jit(
         lambda p, s, t, r: decoder.apply(
-            p, s, t, jnp.int32(0), num_tokens, r, 0.95, 0, 0.8, None,
+            p, s, t, 0, num_tokens, r, 0.95, 0, 0.8, None,
             method=Decoder.sample_range))
     out = sample(params, source, tokens, jax.random.PRNGKey(0))
     jax.device_get(out)

@@ -35,7 +35,7 @@ params = decoder.init({"params": jax.random.PRNGKey(0),
                        "dropout": jax.random.PRNGKey(1)}, source, tokens)
 num_tokens = 96 * 4
 sample = jax.jit(lambda p, s, t, r: decoder.apply(
-    p, s, t, jnp.int32(0), num_tokens, r, 0.95, 0, 0.8, None,
+    p, s, t, 0, num_tokens, r, 0.95, 0, 0.8, None,
     method=Decoder.sample_range))
 t0 = time.perf_counter()
 jax.device_get(sample(params, source, tokens, jax.random.PRNGKey(0)))
