@@ -12,6 +12,7 @@ maps straight onto the MXU.
 """
 from __future__ import annotations
 
+import os
 from typing import List, Optional
 
 import flax.linen as nn
@@ -19,6 +20,26 @@ import jax.numpy as jnp
 
 from vqcpcb_tpu.ops import compute_dtype
 from vqcpcb_tpu.ops.attention import MultiheadAttention
+
+
+def _maybe_remat(layer_cls):
+    """Per-layer rematerialisation (VQCPCB_REMAT=1): the backward pass
+    recomputes one layer's activations at a time instead of keeping every
+    layer's FFN temps live — a whole-forward jax.checkpoint alone still
+    peaks at all-layers-at-once inside its rematted backward (measured: the
+    scale-up encoder config OOMed a 16G v5e both ways, 16x 720M FFN temps).
+    training (arg index 3 counting self) must stay static."""
+    if os.environ.get("VQCPCB_REMAT") == "1":
+        return nn.remat(layer_cls, static_argnums=(3,))
+    return layer_cls
+
+
+def _maybe_remat_decoder(layer_cls):
+    """Decoder-layer variant: (self, tgt, memory, tgt_mask, memory_mask,
+    training) -> training is arg index 5."""
+    if os.environ.get("VQCPCB_REMAT") == "1":
+        return nn.remat(layer_cls, static_argnums=(5,))
+    return layer_cls
 
 
 def _activation(name: str):
@@ -91,7 +112,7 @@ class TransformerEncoderLayer(nn.Module):
         """Full forward that also returns this layer's self-attention K/V for
         cache prefill (same pattern as TransformerDecoderLayer.capture)."""
         k_self, v_self = self.self_attn.project_kv(src)
-        out, _ = self.__call__(src, src_mask=src_mask, training=False)
+        out, _ = self.__call__(src, src_mask, False)
         return out, (k_self, v_self)
 
     def step(self, x_t, k_cache, v_cache, t, seq_len):
@@ -119,8 +140,9 @@ class TransformerEncoder(nn.Module):
     dropout: float = 0.1
 
     def setup(self):
+        layer_cls = _maybe_remat(TransformerEncoderLayer)
         self.layers = [
-            TransformerEncoderLayer(
+            layer_cls(
                 d_model=self.d_model,
                 n_head=self.n_head,
                 attention_bias_type=self.attention_bias_type,
@@ -136,7 +158,8 @@ class TransformerEncoder(nn.Module):
         attentions: List[dict] = []
         out = src
         for layer in self.layers:
-            out, attn = layer(out, src_mask=mask, training=training)
+            # positional args: nn.remat's static_argnums needs them
+            out, attn = layer(out, mask, training)
             if collect_attentions:
                 attentions.append(attn)
         return out, attentions
@@ -204,8 +227,7 @@ class TransformerDecoderLayer(nn.Module):
         attention."""
         k_self, v_self = self.self_attn.project_kv(tgt)
         k_mem, v_mem = self.multihead_attn.project_kv(memory)
-        out, _ = self.__call__(tgt, memory, tgt_mask=tgt_mask,
-                               memory_mask=memory_mask, training=False)
+        out, _ = self.__call__(tgt, memory, tgt_mask, memory_mask, False)
         return out, (k_self, v_self), (k_mem, v_mem)
 
     def step(self, x_t, k_cache, v_cache, k_mem, v_mem, t, seq_len_tgt,
@@ -297,8 +319,7 @@ class TransformerAlignedDecoderLayer(nn.Module):
         it out of the decoding scan."""
         k_self, v_self = self.self_attn.project_kv(tgt)
         cross = self.cross_branch(memory, tgt.shape[1])     # (B, T, E)
-        out, _ = self.__call__(tgt, memory, tgt_mask=tgt_mask,
-                               memory_mask=memory_mask, training=False)
+        out, _ = self.__call__(tgt, memory, tgt_mask, memory_mask, False)
         return out, (k_self, v_self), cross
 
     def step(self, x_t, k_cache, v_cache, cross_t, t, seq_len_tgt,
@@ -321,8 +342,9 @@ class TransformerDecoder(nn.Module):
     aligned: bool = False
 
     def setup(self):
-        layer_cls = (TransformerAlignedDecoderLayer if self.aligned
-                     else TransformerDecoderLayer)
+        layer_cls = _maybe_remat_decoder(
+            TransformerAlignedDecoderLayer if self.aligned
+            else TransformerDecoderLayer)
         self.layers = [layer_cls(name=f"layer_{i}", **self.layer_kwargs)
                        for i in range(self.num_layers)]
 
@@ -331,8 +353,8 @@ class TransformerDecoder(nn.Module):
         attentions: List[dict] = []
         out = tgt
         for layer in self.layers:
-            out, attn = layer(out, memory, tgt_mask=tgt_mask,
-                              memory_mask=memory_mask, training=training)
+            # positional args: nn.remat's static_argnums needs them
+            out, attn = layer(out, memory, tgt_mask, memory_mask, training)
             if collect_attentions:
                 attentions.append(attn)
         return out, attentions

@@ -153,20 +153,19 @@ class VQCPCEncoderTrainer:
             loss, metrics = out
             return loss, (metrics, batch_stats)
 
-        # VQCPCB_REMAT=1 rematerialises the model forward in the backward
-        # pass — trades FLOPs for HBM; the scale-up geometry (batch 64,
-        # d_model 512, random negatives) otherwise exceeds a v5e's 16G with
-        # its FFN activation temps (same knob as the decoder trainer)
-        use_remat = os.environ.get("VQCPCB_REMAT") == "1"
-        fwd_for_grad = (jax.checkpoint(forward, static_argnums=(4, 5))
-                        if use_remat else forward)
+        # VQCPCB_REMAT=1 enables PER-LAYER rematerialisation inside the
+        # transformer stacks (ops/transformer.py): the backward recomputes
+        # one layer's activations at a time. A whole-forward jax.checkpoint
+        # here does NOT cut the peak — all layers' FFN temps coexist inside
+        # its rematted backward (measured: the scale-up encoder config OOMed
+        # a 16G v5e that way, 16x 720M temps).
 
         @functools.partial(jax.jit, static_argnames=("corrupt_labels",),
                            donate_argnums=(0,))
         def train_step(state: TrainState, batch, rng, corrupt_labels=False):
             grad_fn = jax.value_and_grad(
-                lambda p: fwd_for_grad(p, state.batch_stats, batch, rng,
-                                       True, corrupt_labels), has_aux=True)
+                lambda p: forward(p, state.batch_stats, batch, rng,
+                                  True, corrupt_labels), has_aux=True)
             (loss, (metrics, new_bs)), grads = grad_fn(state.params)
             updates, new_opt = tx.update(grads, state.opt_state, state.params)
             new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
