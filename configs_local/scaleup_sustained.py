@@ -80,13 +80,15 @@ config = {
         ),
     },
 
-    # CPU-scale ablation (BENCHMARKS.md): both downscalers learn this task
-    # at lr 1e-3; 1e-4 was flat-at-chance for the 1k-step budget. 3e-4 is
-    # the largest step the post-LN d512 stack took without instability.
-    'lr': 3e-4,
-    'schedule_lr': False,
+    # Recipe from the scale-up failure analysis (BENCHMARKS.md): post-LN
+    # d512 needs warmup (constant 3e-4 collapsed the codebook, constant
+    # 1e-4 was flat), and an epoch must cover the corpus, not 128 windows.
+    # Run with VQCPCB_REMAT=1 VQCPCB_WARMUP_STEPS=1000 (reference trapezoid
+    # rescaled to this budget; peak lr = batch-scaled reference 1e-4).
+    'lr': 4e-4,
+    'schedule_lr': True,
     'batch_size': 64,           # sharded over the 'data' mesh axis
-    'num_batches': 128,
+    'num_batches': None,        # full corpus per epoch
     'num_epochs': 200,
     'quantizer_regularization': dict(
         corrupt_labels=False

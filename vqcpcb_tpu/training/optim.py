@@ -7,6 +7,8 @@ at a tenth of the warmup slope, floored at 0.1x.
 """
 from __future__ import annotations
 
+import os
+
 import optax
 
 WARMUP_STEPS = 10_000
@@ -16,12 +18,18 @@ GRAD_CLIP = 5.0
 
 
 def trapezoid_schedule(lr: float):
-    slope_1 = (MAX_SCALING - MIN_SCALING) / WARMUP_STEPS
+    # The reference's fixed 10k-step warmup assumes its multi-hour training
+    # budget (batch 16). VQCPCB_WARMUP_STEPS rescales the trapezoid for
+    # shorter budgets/larger batches — post-LN stacks at d_model 512 need
+    # *some* warmup (constant lr >= 3e-4 collapses the codebook; see
+    # BENCHMARKS.md scale-up notes) but 10k steps can exceed a whole run.
+    warmup = int(os.environ.get("VQCPCB_WARMUP_STEPS", str(WARMUP_STEPS)))
+    slope_1 = (MAX_SCALING - MIN_SCALING) / warmup
     slope_2 = -slope_1 * 0.1
 
     def schedule(step):
         up = MIN_SCALING + slope_1 * step
-        down = MAX_SCALING + (step - WARMUP_STEPS) * slope_2
+        down = MAX_SCALING + (step - warmup) * slope_2
         import jax.numpy as jnp
         return lr * jnp.maximum(jnp.minimum(up, down), MIN_SCALING)
 
