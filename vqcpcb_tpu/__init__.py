@@ -22,3 +22,22 @@ are written for the TPU MXU/VPU with optional Pallas fusions.
 """
 
 __version__ = "0.1.0"
+
+# VQCPCB_PLATFORM=cpu|tpu pins the jax backend at import time. On images
+# that pin a TPU plugin via sitecustomize the JAX_PLATFORMS env var is
+# ignored; the working recipe is XLA_FLAGS (device count) before backend
+# resolution + jax.config.update after importing jax — centralised here so
+# CLIs/scripts can be forced onto the (virtual 8-device) CPU mesh with one
+# env var instead of re-implementing the dance.
+import os as _os
+
+_platform = _os.environ.get("VQCPCB_PLATFORM")
+if _platform:
+    if _platform == "cpu":
+        _flags = _os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in _flags:
+            _os.environ["XLA_FLAGS"] = (
+                _flags + " --xla_force_host_platform_device_count=8").strip()
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _platform)
