@@ -120,6 +120,22 @@ def test_sampler_preserves_fixed_prefix():
     np.testing.assert_array_equal(np.asarray(got), want)
 
 
+def test_sample_range_under_outer_jit():
+    """bench.py and the trainers wrap sample_range in an outer jax.jit with
+    a Python-int start captured by closure — the static-start requirement
+    must stay compatible with that pattern."""
+    decoder = make_decoder()
+    params, source, _ = init_decoder(decoder)
+    toks = jnp.zeros((2, NUM_EVENTS, 4), dtype=jnp.int32)
+    sample = jax.jit(lambda p, s, t, r: decoder.apply(
+        p, s, t, 0, NUM_EVENTS * 4, r, 1.0, 1, 0.0, None,
+        method=Decoder.sample_range))
+    out = sample(params, source, toks, jax.random.PRNGKey(0))
+    assert out.shape == (2, NUM_EVENTS, 4)
+    want = naive_greedy(decoder, params, source, toks, 0, NUM_EVENTS * 4)
+    np.testing.assert_array_equal(np.asarray(out), want)
+
+
 @pytest.mark.parametrize("chunk", ["5", "8"])
 def test_chunked_cache_sampler_matches_full_scan(monkeypatch, chunk):
     """Prefix-sized KV caches (grown chunk-by-chunk) must reproduce the

@@ -164,6 +164,18 @@ def test_trapezoid_schedule():
     assert abs(float(sched(10_000_000)) - 1e-4) < 1e-9
 
 
+def test_trapezoid_schedule_warmup_override(monkeypatch):
+    """VQCPCB_WARMUP_STEPS rescales the trapezoid for short budgets."""
+    from vqcpcb_tpu.training.optim import trapezoid_schedule
+    monkeypatch.setenv("VQCPCB_WARMUP_STEPS", "1000")
+    sched = trapezoid_schedule(1e-3)
+    np.testing.assert_allclose(float(sched(0)), 1e-4, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(1000)), 1e-3, rtol=1e-4)
+    np.testing.assert_allclose(float(sched(500)), 1e-3 * 0.55, rtol=1e-4)
+    np.testing.assert_allclose(float(sched(2000)),
+                               1e-3 * (1 - 0.9 / 10), rtol=1e-4)
+
+
 def test_optimizer_clips_gradients():
     import optax
     from vqcpcb_tpu.training.optim import make_optimizer
