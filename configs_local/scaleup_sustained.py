@@ -80,14 +80,17 @@ config = {
         ),
     },
 
-    # Recipe from the scale-up failure analysis (BENCHMARKS.md): post-LN
-    # d512 needs warmup (constant 3e-4 collapsed the codebook, constant
-    # 1e-4 was flat), and an epoch must cover the corpus, not 128 windows.
-    # Run with VQCPCB_REMAT=1 VQCPCB_WARMUP_STEPS=1000 (reference trapezoid
-    # rescaled to this budget; peak lr = batch-scaled reference 1e-4).
-    'lr': 4e-4,
-    'schedule_lr': True,
-    'batch_size': 64,           # sharded over the 'data' mesh axis
+    # Recipe from the scale-up failure analysis (BENCHMARKS.md): constant
+    # 3e-4 collapsed the codebook within ~400 steps; 1e-4 (the reference's
+    # peak) is stable — what every failed run actually lacked was STEPS
+    # (none exceeded ~1k; an epoch here is ~3.5k steps once num_batches
+    # covers the corpus). schedule_lr=True + VQCPCB_WARMUP_STEPS is the
+    # reference-faithful alternative for multi-hour budgets.
+    # Run with VQCPCB_REMAT=1 (the batch-64 random-negatives geometry needs
+    # per-layer remat to fit 16G HBM).
+    'lr': 1e-4,
+    'schedule_lr': False,
+    'batch_size': 32,           # sharded over the 'data' mesh axis; 64 needs VQCPCB_REMAT=1 (16G HBM)
     'num_batches': None,        # full corpus per epoch
     'num_epochs': 200,
     'quantizer_regularization': dict(

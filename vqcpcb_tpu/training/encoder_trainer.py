@@ -154,18 +154,25 @@ class VQCPCEncoderTrainer:
             return loss, (metrics, batch_stats)
 
         # VQCPCB_REMAT=1 enables PER-LAYER rematerialisation inside the
-        # transformer stacks (ops/transformer.py): the backward recomputes
-        # one layer's activations at a time. A whole-forward jax.checkpoint
-        # here does NOT cut the peak — all layers' FFN temps coexist inside
-        # its rematted backward (measured: the scale-up encoder config OOMed
-        # a 16G v5e that way, 16x 720M temps).
+        # transformer stacks (ops/transformer.py) — the backward recomputes
+        # one layer's activations at a time — AND wraps the whole forward in
+        # jax.checkpoint. The outer wrap alone does NOT cut the peak (all
+        # layers' FFN temps coexist inside its rematted backward; the
+        # scale-up config still OOMed a 16G v5e by 314M that way), but
+        # KEEPING it nested with the per-layer remat matters for compile
+        # time: without it XLA's automatic rematerializer fights the large
+        # whole-graph backward and the remote TPU compile ran >50 min
+        # (observed 2026-08-17); the nested form compiled in ~11 min.
+        use_remat = os.environ.get("VQCPCB_REMAT") == "1"
+        fwd_for_grad = (jax.checkpoint(forward, static_argnums=(4, 5))
+                        if use_remat else forward)
 
         @functools.partial(jax.jit, static_argnames=("corrupt_labels",),
                            donate_argnums=(0,))
         def train_step(state: TrainState, batch, rng, corrupt_labels=False):
             grad_fn = jax.value_and_grad(
-                lambda p: forward(p, state.batch_stats, batch, rng,
-                                  True, corrupt_labels), has_aux=True)
+                lambda p: fwd_for_grad(p, state.batch_stats, batch, rng,
+                                       True, corrupt_labels), has_aux=True)
             (loss, (metrics, new_bs)), grads = grad_fn(state.params)
             updates, new_opt = tx.update(grads, state.opt_state, state.params)
             new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
