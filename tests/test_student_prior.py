@@ -235,6 +235,26 @@ def test_prior_kv_sampler_matches_full_forward():
     np.testing.assert_array_equal(np.asarray(got), want)
 
 
+def test_prior_kv_sampler_chunked_prefix_caches(monkeypatch):
+    """Multi-chunk prefix-sized caches must reproduce the single full-length
+    scan exactly (same invariant as the decoder's chunked sampler)."""
+    from vqcpcb_tpu.models.prior import PriorRelative
+
+    prior = _make_prior()
+    x0 = jnp.zeros((3, 12), dtype=jnp.int32)
+    params = prior.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        x0)
+
+    monkeypatch.setenv("VQCPCB_SAMPLER_CHUNK", "0")
+    want = prior.apply(params, x0, 0, 12, jax.random.PRNGKey(0),
+                       1.0, 1, method=PriorRelative.sample_window)
+    monkeypatch.setenv("VQCPCB_SAMPLER_CHUNK", "5")
+    got = prior.apply(params, x0, 0, 12, jax.random.PRNGKey(0),
+                      1.0, 1, method=PriorRelative.sample_window)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 def test_prior_kv_sampler_fixed_prefix():
     """start>0 keeps the prefix and continues exactly like the naive loop —
     the geometry of the chunked sliding window in generate_codes."""
