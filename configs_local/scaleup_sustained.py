@@ -70,7 +70,7 @@ config = {
     ),
 
     'auxiliary_networks_kwargs': {
-        'quantization_weighting': 0.5,
+        'quantization_weighting': 0.25,  # 0.5 lets the quantize loss collapse z before CPC lifts at d512
         'c_net_kwargs': dict(
             output_dim=64,
             hidden_size=512,
@@ -88,8 +88,8 @@ config = {
     # reference-faithful alternative for multi-hour budgets.
     # Run with VQCPCB_REMAT=1 (the batch-64 random-negatives geometry needs
     # per-layer remat to fit 16G HBM).
-    'lr': 1e-4,
-    'schedule_lr': False,
+    'lr': 2e-4,
+    'schedule_lr': True,   # + VQCPCB_WARMUP_STEPS=2000
     'batch_size': 32,           # sharded over the 'data' mesh axis; 64 needs VQCPCB_REMAT=1 (16G HBM)
     'num_batches': None,        # full corpus per epoch
     'num_epochs': 200,
