@@ -46,7 +46,9 @@ def run_arm(workdir, name, env_extra, epochs, enc_cfg):
     cfg_path = os.path.join(workdir, "configs", f"{name}.py")
     open(cfg_path, "w").write(CONFIG % dict(enc=enc_cfg, epochs=epochs))
     env = dict(os.environ, **env_extra)
-    env["PYTHONPATH"] = REPO
+    # PREPEND the repo: this image loads its TPU plugin via PYTHONPATH
+    # (/root/.axon_site) — replacing the variable silently drops the backend
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     r = subprocess.run(
         [sys.executable, os.path.join(REPO, "main_decoder.py"),
          "-t", "-c", cfg_path],
