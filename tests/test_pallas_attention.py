@@ -195,3 +195,27 @@ def test_mha_training_path_uses_fused_kernel(monkeypatch):
     out_xla, _ = mha.apply(params, x, x, x, attn_mask=mask, training=False)
     np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_xla),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_fused_train_grad_placeholder_bias_length1_target():
+    """Regression (ADVICE r2): with the (B*H, 1, 1) zero placeholder bias and
+    a length-1 target (t == 1, s > 1), the bwd used to return a (B*H, 1, s)
+    cotangent for the (B*H, 1, 1) primal, which custom_vjp rejects."""
+    rng = np.random.RandomState(3)
+    b, h, t, s, d = 2, 2, 1, 16, 8
+    q = jnp.asarray(rng.randn(b, h, t, d).astype(np.float32)) * (d ** -0.5)
+    k = jnp.asarray(rng.randn(b, h, s, d).astype(np.float32))
+    v = jnp.asarray(rng.randn(b, h, s, d).astype(np.float32))
+    mask = jnp.zeros((t, s), jnp.float32)
+
+    def f_fused(qq, kk, vv):
+        return _fused_train_loss(qq, kk, vv, mask, None, None, dropout=0.0)
+
+    def f_xla(qq, kk, vv):
+        return _xla_loss(qq, kk, vv, mask, None, None)
+
+    g_fused = jax.grad(f_fused, argnums=(0, 1, 2))(q, k, v)
+    g_xla = jax.grad(f_xla, argnums=(0, 1, 2))(q, k, v)
+    for gf, gx in zip(g_fused, g_xla):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gx),
+                                   rtol=2e-4, atol=2e-5)

@@ -259,7 +259,12 @@ def _fused_attention_train_bwd(dropout_rate, interpret, residuals, g):
     )(seed, qf, kf, vf, mask, bias, gf)
     dseed = np.zeros((), jax.dtypes.float0)
     dmask = ds.sum(axis=0)                       # mask broadcasts over (b, h)
-    dbias = ds if bias.shape[1] == t else jnp.zeros_like(bias)
+    # the (B*H, 1, 1) zero placeholder is caller-constructed (never a
+    # parameter), so its cotangent is zeros; match BOTH dims — a length-1
+    # target (t == 1, s > 1) would otherwise return a (B*H, 1, s) cotangent
+    # for the (B*H, 1, 1) primal, which custom_vjp rejects
+    real_bias = bias.shape[1] == t and bias.shape[2] == s
+    dbias = ds if real_bias else jnp.zeros_like(bias)
     return (dseed, dq.reshape(q.shape), dk.reshape(k.shape),
             dv.reshape(v.shape), dmask, dbias)
 
