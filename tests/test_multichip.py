@@ -102,3 +102,52 @@ def test_tp_head_aligned_attention_specs_and_parity():
     out_tp = jax.device_get(fwd(sharded_params, x_sharded))
     out_rep = jax.device_get(mha.apply({"params": params}, x, x, x)[0])
     np.testing.assert_allclose(out_tp, out_rep, rtol=2e-5, atol=2e-6)
+
+
+def test_tp_aligned_decoder_mesh_shapes_loss_identical():
+    """(8,1) vs (4,2) mesh: the ALIGNED-layer decoder loss is identical, and
+    the r3 TP rules really shard cross_mlp_1/2 + the pre_softmax heads."""
+    from vqcpcb_tpu.models.data_processor import BachDataProcessor
+    from vqcpcb_tpu.models.decoder import Decoder
+
+    dp = BachDataProcessor(embedding_size=16, num_events=24,
+                           num_tokens_per_channel=[30] * 4)
+    decoder = Decoder(
+        data_processor=dp, transformer_type="relative",
+        encoder_attention_type="anticausal", cross_attention_type="diagonal",
+        d_model=32, num_encoder_layers=1, num_decoder_layers=1, n_head=2,
+        dim_feedforward=48, positional_embedding_size=4,
+        num_channels_encoder=1, num_events_encoder=6,
+        num_channels_decoder=4, num_events_decoder=24,
+        dropout=0.0, total_upscaling=16, source_vocab_size=8)
+    rng = np.random.RandomState(0)
+    source = jnp.asarray(rng.randint(0, 8, size=(8, 6)))
+    target = jnp.asarray(rng.randint(0, 30, size=(8, 24, 4)))
+    params = decoder.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        source, target)["params"]
+
+    # the new rules bite on the aligned layer + output heads
+    mesh_tp = mesh_lib.make_mesh(num_model=2)
+    sh = mesh_lib.params_shardings(params, mesh_tp)
+    P = mesh_lib.P
+    flat = {"/".join(str(getattr(k, "key", k)) for k in path): s.spec
+            for path, s in jax.tree_util.tree_flatten_with_path(sh)[0]}
+    assert any(k.endswith("cross_mlp_1/kernel") and v == P(None, "model")
+               for k, v in flat.items()), flat
+    assert any(k.endswith("cross_mlp_2/kernel") and v == P("model", None)
+               for k, v in flat.items())
+    assert any("pre_softmax_3/kernel" in k and v == P(None, "model")
+               for k, v in flat.items())
+
+    losses = {}
+    for num_model in (1, 2):
+        mesh = mesh_lib.make_mesh(num_model=num_model)
+        p = mesh_lib.shard_params(params, mesh)
+        s = mesh_lib.shard_batch({"s": np.asarray(source)}, mesh)["s"]
+        t = mesh_lib.shard_batch({"t": np.asarray(target)}, mesh)["t"]
+        fwd = jax.jit(lambda p, s, t: decoder.apply({"params": p}, s, t)["loss"])
+        losses[num_model] = float(jax.device_get(fwd(p, s, t)))
+    # vocab-sharded pre_softmax heads change the CE reduction ORDER across
+    # mesh shapes (partial sums per shard), so parity is numeric, not bit
+    np.testing.assert_allclose(losses[1], losses[2], rtol=1e-6)

@@ -95,7 +95,14 @@ def use_pallas_attention() -> bool:
 
 
 def use_pallas_attention_train() -> bool:
-    return (os.environ.get("VQCPCB_PALLAS_ATTENTION_TRAIN") == "1"
+    """DEFAULT ON for TPU (r3): grads are hardware-verified elementwise
+    (scripts/check_pallas_train_tpu.py) and an on-chip training soak shows
+    the loss curves track the XLA path within 0.1%/epoch
+    (scripts/soak_pallas_train.py, BENCHMARKS.md). Set
+    VQCPCB_PALLAS_ATTENTION_TRAIN=0 for the XLA fallback — required for
+    tensor parallelism over real multi-chip meshes (pallas_call does not
+    auto-partition under GSPMD; single-chip and DP-only meshes are fine)."""
+    return (os.environ.get("VQCPCB_PALLAS_ATTENTION_TRAIN", "1") == "1"
             and jax.default_backend() == "tpu")
 
 

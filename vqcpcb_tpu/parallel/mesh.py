@@ -72,6 +72,21 @@ def shard_batch(batch, mesh: Mesh):
 # E = H*hd heads-major contracts row-parallel along the SAME head grouping,
 # so the whole attention block runs without resharding until the out_proj
 # all-reduce.
+#
+# The aligned decoder layer's cross MLP (ops/transformer.py cross_mlp_1/2)
+# is a second Megatron pair (the elu between them is elementwise, so the
+# column split holds through it), and the per-channel output heads
+# (pre_softmax_<c>, models/decoder.py; pre_softmax, models/prior.py) split
+# the vocab axis column-parallel — the per-channel CE is a one-hot
+# contraction over that same axis, so GSPMD keeps the logits sharded
+# through the loss.
+#
+# REPLICATED BY DESIGN: recurrent modules — the GRU downscaler stacks
+# (ops/gru.py, the flagship encoder's dominant FLOPs) and the CModule
+# aggregator (models/cpc.py) — keep their (H, 3H) scan kernels on every
+# device. Sharding a lax.scan's carry over 'model' would put an all-reduce
+# inside every scan step (latency-bound on ICI at these hidden sizes, where
+# one step's matmul is ~1 MXU tile); DP is the profitable axis for them.
 TP_RULES = [
     (re.compile(r".*linear1/kernel$"), P(None, MODEL_AXIS)),
     (re.compile(r".*linear2/kernel$"), P(MODEL_AXIS, None)),
@@ -80,6 +95,11 @@ TP_RULES = [
     (re.compile(r".*rel_e[12]$"), P(MODEL_AXIS, None, None)),
     (re.compile(r".*linear1/bias$"), P(MODEL_AXIS)),
     (re.compile(r".*out_proj/kernel$"), P(MODEL_AXIS, None)),
+    (re.compile(r".*cross_mlp_1/kernel$"), P(None, MODEL_AXIS)),
+    (re.compile(r".*cross_mlp_1/bias$"), P(MODEL_AXIS)),
+    (re.compile(r".*cross_mlp_2/kernel$"), P(MODEL_AXIS, None)),
+    (re.compile(r".*pre_softmax(_\d+)?/kernel$"), P(None, MODEL_AXIS)),
+    (re.compile(r".*pre_softmax(_\d+)?/bias$"), P(MODEL_AXIS)),
 ]
 
 

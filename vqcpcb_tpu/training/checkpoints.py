@@ -15,9 +15,48 @@ import os
 from typing import Any, Optional
 
 import jax
+import numpy as np
 import orbax.checkpoint as ocp
 
 SLOTS = ("early_stopped", "overfitted")
+
+
+def _adapt_legacy_layout(path: str, target: Any) -> Any:
+    """Format shim: round-1 checkpoints stored attention QKV kernels flat —
+    in_proj/kernel (E, 3E), in_proj/bias (3E,) — before the r2 head-aligned
+    relayout to (E, 3, H, hd) / (3, H, hd) (ops/attention.py). The flat
+    columns were ordered [qkv-block][head][head_dim] (q|k|v each heads-major),
+    exactly the row-major order of the aligned layout, so a pure reshape is
+    bit-exact. Restores the raw tree and reshapes any size-preserving
+    mismatch on an in_proj path (params AND the Adam moments that mirror
+    them) onto the target's shapes."""
+    raw = ocp.PyTreeCheckpointer().restore(path)
+    flat, _ = jax.tree_util.tree_flatten_with_path(target)
+    treedef = jax.tree_util.tree_structure(target)
+    leaves = []
+    for key_path, want in flat:
+        node = raw
+        for k in key_path:
+            key = getattr(k, "key", None)
+            if key is None:
+                key = getattr(k, "name", None)
+            if key is None:
+                key = k.idx
+            node = node[key]
+        arr = np.asarray(node)
+        want_shape = getattr(want, "shape", ())
+        if arr.shape != tuple(want_shape):
+            keys_str = "/".join(str(getattr(k, "key", getattr(k, "name", "")))
+                                for k in key_path)
+            if arr.size == np.prod(want_shape, dtype=int) and \
+                    "in_proj" in keys_str:
+                arr = arr.reshape(want_shape)
+            else:
+                raise ValueError(
+                    f"checkpoint leaf {keys_str}: stored shape {arr.shape} "
+                    f"!= target {tuple(want_shape)} and no known migration")
+        leaves.append(arr)
+    return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
 def slot_dir(model_dir: str, early_stopped: bool) -> str:
@@ -40,10 +79,24 @@ def load_state(model_dir: str, early_stopped: bool,
         path = os.path.abspath(model_dir)
     ckptr = ocp.PyTreeCheckpointer()
     if target is not None:
-        restore_args = ocp.checkpoint_utils.construct_restore_args(
-            jax.device_get(target))
-        return ckptr.restore(path, item=jax.device_get(target),
-                             restore_args=restore_args)
+        target = jax.device_get(target)
+        restore_args = ocp.checkpoint_utils.construct_restore_args(target)
+        try:
+            restored = ckptr.restore(path, item=target,
+                                     restore_args=restore_args)
+        except Exception:
+            restored = None
+        if restored is not None:
+            # orbax restores the STORED shapes even when the target's
+            # differ, so detect pre-r2 flat-QKV layouts by shape
+            shapes_ok = all(
+                np.shape(g) == np.shape(w)
+                for g, w in zip(jax.tree_util.tree_leaves(restored),
+                                jax.tree_util.tree_leaves(target)))
+            if shapes_ok:
+                return restored
+        # pre-r2 flat-QKV checkpoints: migrate layouts leaf-by-leaf
+        return _adapt_legacy_layout(path, target)
     return ckptr.restore(path)
 
 

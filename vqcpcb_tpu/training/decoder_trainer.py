@@ -190,9 +190,8 @@ class DecoderTrainer:
 
     def epoch(self, data_loader: Iterator, train: bool,
               num_batches: Optional[int]) -> Dict:
-        sums: Dict[str, float] = {}
-        device_metrics = []
-        count = 0
+        from vqcpcb_tpu.training.accumulate import MetricAccumulator
+        acc_metrics = MetricAccumulator()
         tokens = 0
         t0 = time.perf_counter()
         from vqcpcb_tpu.data.prefetch import prefetch
@@ -209,15 +208,11 @@ class DecoderTrainer:
             else:
                 metrics = self._eval_step(self.state.params,
                                           self.encoder_variables, x)
-            device_metrics.append(metrics)
-            count += 1
+            acc_metrics.add(metrics)
             tokens += int(np.prod(batch_np["x"].shape))
-        if count == 0:
+        means = acc_metrics.means()
+        if means is None:
             return {}
-        for metrics in jax.device_get(device_metrics):
-            for k, v in metrics.items():
-                sums[k] = sums.get(k, 0.0) + float(v)
-        means = {k: v / count for k, v in sums.items()}
         means["tokens_per_sec"] = tokens / max(time.perf_counter() - t0, 1e-9)
         return means
 
@@ -352,11 +347,12 @@ class DecoderTrainer:
         before sliding (the masks make within-window conditioning identical
         to per-code decoding; what changes is window placement — a code at
         chunk position j sees >= num_tokens_indices/2 - j future codes
-        instead of the reference's fixed num_tokens_indices/2). 1 recovers
-        the reference's slide-by-one placement exactly; the default
-        num_tokens_indices//4 (VQCPCB_CODES_PER_WINDOW overrides) keeps at
-        least half the reference's lookahead while cutting the number of
-        prefills ~4x."""
+        instead of the reference's fixed num_tokens_indices/2). The DEFAULT
+        is 1 — the reference's slide-by-one placement, so CLI output is the
+        same distribution as the reference's; VQCPCB_CODES_PER_WINDOW (or
+        the argument) opts into the amortised placement (~codes_per_window
+        x fewer prefills, each chunk keeping >= half the reference's
+        lookahead at num_tokens_indices//4)."""
         encoding_indices = np.asarray(encoding_indices)
         size_encoding = encoding_indices.shape[1]
         total_upscaling = self.decoder.total_upscaling
@@ -370,8 +366,7 @@ class DecoderTrainer:
             code_index_end = size_encoding
         if codes_per_window is None:
             codes_per_window = int(os.environ.get(
-                "VQCPCB_CODES_PER_WINDOW",
-                str(max(1, num_tokens_indices // 4))))
+                "VQCPCB_CODES_PER_WINDOW", "1"))
         codes_per_window = max(1, codes_per_window)
 
         num_events_full = size_encoding * total_upscaling // num_channels

@@ -196,10 +196,10 @@ class VQCPCEncoderTrainer:
               train: bool,
               num_batches: Optional[int],
               corrupt_labels: bool = False) -> Dict:
-        # metrics stay on device during the loop so steps pipeline without
-        # a host sync; one transfer per epoch at the end
-        device_metrics = []
-        count = 0
+        # metrics accumulate ON DEVICE (O(1) buffers) so steps pipeline
+        # without a host sync; one small transfer per epoch at the end
+        from vqcpcb_tpu.training.accumulate import MetricAccumulator
+        acc_metrics = MetricAccumulator()
         tokens = 0
         t0 = time.perf_counter()
         from vqcpcb_tpu.data.prefetch import prefetch
@@ -215,20 +215,13 @@ class VQCPCEncoderTrainer:
                     self.state, batch, step_rng, corrupt_labels=corrupt_labels)
             else:
                 metrics = self._eval_step(self.state, batch, step_rng)
-            device_metrics.append(metrics)
-            count += 1
+            acc_metrics.add(metrics)
             tokens += int(np.prod(batch_np["x_left"].shape)) \
                 + int(np.prod(batch_np["x_right"].shape)) \
                 + int(np.prod(batch_np["negative_samples"].shape))
-        if count == 0:
+        means = acc_metrics.means()
+        if means is None:
             return {}
-        host_metrics = jax.device_get(device_metrics)
-        sums: Dict[str, np.ndarray] = {}
-        for metrics in host_metrics:
-            for k, v in metrics.items():
-                sums[k] = sums.get(k, 0) + np.asarray(v, dtype=np.float64)
-        means = {k: (v / count).tolist() if np.ndim(v) else float(v / count)
-                 for k, v in sums.items()}
         elapsed = time.perf_counter() - t0
         means["tokens_per_sec"] = tokens / max(elapsed, 1e-9)
         acc = means.get("accuracy")

@@ -131,9 +131,8 @@ class PriorTrainer:
 
     def epoch(self, data_loader: Iterator, train: bool,
               num_batches: Optional[int]) -> Dict:
-        sums: Dict[str, float] = {}
-        device_metrics = []
-        count = 0
+        from vqcpcb_tpu.training.accumulate import MetricAccumulator
+        acc_metrics = MetricAccumulator()
         from vqcpcb_tpu.data.prefetch import prefetch
         # shard/transfer inside the prefetch thread so host->device
         # copies overlap device compute
@@ -148,12 +147,9 @@ class PriorTrainer:
             else:
                 metrics = self._eval_step(self.state.params,
                                           self.encoder_variables, x)
-            device_metrics.append(metrics)
-            count += 1
-        for metrics in jax.device_get(device_metrics):
-            for k, v in metrics.items():
-                sums[k] = sums.get(k, 0.0) + float(v)
-        return {k: v / count for k, v in sums.items()} if count else {}
+            acc_metrics.add(metrics)
+        means = acc_metrics.means()
+        return means if means is not None else {}
 
     def train_model(self, batch_size, num_batches=None, num_epochs=10,
                     lr=1e-3, plot=False, num_workers=0, **kwargs):
@@ -212,10 +208,12 @@ class PriorTrainer:
         (num_tokens_model - chunk) generated codes + a scan of `chunk` steps.
         Context per sampled code is thus between L-chunk and L-1 previous
         codes, vs exactly L-1 in the reference's slide-by-one full-forward
-        loop (prior_relative.py:327-353) — chunk=1 recovers that exact
-        semantics at the reference's O(L^2)-per-code cost. Like the
-        reference, logits are tempered via p^(T) renormalisation.
-        Default chunk: half the model window (VQCPCB_PRIOR_CHUNK overrides)."""
+        loop (prior_relative.py:327-353) — chunk=1 (the DEFAULT: exact
+        reference semantics; still KV-cached, so O(L) per code vs the
+        reference's O(L^2) full forward). VQCPCB_PRIOR_CHUNK (or the
+        argument) opts into larger chunks (fewer prefills, slightly less
+        context per code). Like the reference, logits are tempered via
+        p^(T) renormalisation."""
         model_tokens = self.prior.num_tokens
         assert num_tokens >= model_tokens
         if chunk is None:

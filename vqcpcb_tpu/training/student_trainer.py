@@ -268,9 +268,8 @@ class StudentEncoderTrainer:
 
     def epoch(self, data_loader: Iterator, train: bool,
               num_batches: Optional[int], corrupt_labels: bool = False) -> Dict:
-        sums: Dict[str, float] = {}
-        device_metrics = []
-        count = 0
+        from vqcpcb_tpu.training.accumulate import MetricAccumulator
+        acc_metrics = MetricAccumulator()
         tokens = 0
         t0 = time.perf_counter()
         from vqcpcb_tpu.data.prefetch import prefetch
@@ -285,15 +284,11 @@ class StudentEncoderTrainer:
                 self.state, metrics = self._train_step(self.state, x, rng)
             else:
                 metrics = self._eval_step(self.state, x, rng)
-            device_metrics.append(metrics)
-            count += 1
+            acc_metrics.add(metrics)
             tokens += int(np.prod(batch_np["x"].shape))
-        if count == 0:
+        means = acc_metrics.means()
+        if means is None:
             return {}
-        for metrics in jax.device_get(device_metrics):
-            for k, v in metrics.items():
-                sums[k] = sums.get(k, 0.0) + float(v)
-        means = {k: v / count for k, v in sums.items()}
         means["tokens_per_sec"] = tokens / max(time.perf_counter() - t0, 1e-9)
         return means
 
