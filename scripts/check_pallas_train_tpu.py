@@ -2,6 +2,11 @@
 dropout tests the CPU interpreter cannot (it stubs prng_random_bits to
 zeros) plus the dropout-0 gradient parity, on the real chip.
 
+Sections: exact-f32 dots first (VQCPCB_PALLAS_BF16_DOTS=0, tight
+tolerances), then the shipping bf16-MXU-input default (loose tolerance +
+determinism). The env var is read at trace time, so flipping os.environ
+between sections retraces the kernels.
+
 Run on the TPU: python scripts/check_pallas_train_tpu.py
 """
 import os
@@ -15,16 +20,35 @@ sys.path.insert(0, os.path.join(REPO, "tests"))
 def main():
     import jax
     assert jax.default_backend() == "tpu", jax.default_backend()
+    import numpy as np
     import test_pallas_attention as t
 
+    os.environ["VQCPCB_PALLAS_BF16_DOTS"] = "0"
     t.test_fused_train_grads_match_xla_no_dropout(True)
-    print("grads(no dropout, relative bias): OK")
+    print("f32 grads(no dropout, relative bias): OK")
     t.test_fused_train_grads_match_xla_no_dropout(False)
-    print("grads(no dropout, no bias): OK")
+    print("f32 grads(no dropout, no bias): OK")
     t.test_fused_train_dropout_statistics()
-    print("dropout statistics + determinism: OK")
+    print("f32 dropout statistics + determinism: OK")
     t.test_fused_train_dropout_vjp_finite_difference()
-    print("dropout custom-VJP vs finite differences: OK")
+    print("f32 dropout custom-VJP vs finite differences: OK")
+
+    os.environ["VQCPCB_PALLAS_BF16_DOTS"] = "1"
+
+    class _Env:
+        def setenv(self, k, v):
+            os.environ[k] = v
+
+    t.test_fused_train_grads_bf16_dots(_Env())
+    print("bf16-dots grads vs XLA f32 (3% tol): OK")
+    # determinism under bf16 + dropout (same seed -> identical output)
+    q, k, v, mask, e1, e2 = t._inputs(t=32, s=32, s_src=32)
+    a = np.asarray(t._fused_train_loss(q, k, v, mask, e1, e2,
+                                       dropout=0.3, seed_val=11))
+    b = np.asarray(t._fused_train_loss(q, k, v, mask, e1, e2,
+                                       dropout=0.3, seed_val=11))
+    np.testing.assert_array_equal(a, b)
+    print("bf16-dots dropout determinism: OK")
 
 
 if __name__ == "__main__":

@@ -53,6 +53,15 @@ def test_fused_attention_matches_xla(t, s, s_src, mask_kind, relative):
 
 # ---- trainable fused attention (custom VJP + in-kernel dropout) -------------
 
+@pytest.fixture(autouse=True)
+def _exact_f32_dots(monkeypatch):
+    """The trainable kernel defaults to bf16 MXU-input dots
+    (VQCPCB_PALLAS_BF16_DOTS=1); the parity tests here assert tight
+    f32 tolerances, so pin the exact mode. test_fused_train_grads_bf16_dots
+    below covers the shipping bf16 default at its own tolerance."""
+    monkeypatch.setenv("VQCPCB_PALLAS_BF16_DOTS", "0")
+
+
 def _inputs(t=24, s=24, s_src=24, relative=True, seed=0):
     rng = np.random.RandomState(seed)
     b, h, d = 2, 2, 8
@@ -195,6 +204,34 @@ def test_mha_training_path_uses_fused_kernel(monkeypatch):
     out_xla, _ = mha.apply(params, x, x, x, attn_mask=mask, training=False)
     np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_xla),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_fused_train_grads_bf16_dots(monkeypatch):
+    """The shipping default (VQCPCB_PALLAS_BF16_DOTS=1) rounds only the
+    matmul INPUTS to bf16, keeping f32 accumulation and an f32 softmax/VJP —
+    grads must still track the exact-f32 XLA path to bf16-mantissa
+    precision (~2^-8 relative)."""
+    monkeypatch.setenv("VQCPCB_PALLAS_BF16_DOTS", "1")
+    q, k, v, mask, e1, e2 = _inputs(relative=True)
+    args = (q, k, v, e1, e2)
+
+    def f_fused(*a):
+        return _fused_train_loss(a[0], a[1], a[2], mask, a[3], a[4],
+                                 dropout=0.0)
+
+    def f_xla(*a):
+        return _xla_loss(a[0], a[1], a[2], mask, a[3], a[4])
+
+    out_fused = f_fused(*args)
+    out_xla = f_xla(*args)
+    np.testing.assert_allclose(float(out_fused), float(out_xla), rtol=2e-2)
+    g_fused = jax.grad(f_fused, argnums=(0, 1, 2, 3, 4))(*args)
+    g_xla = jax.grad(f_xla, argnums=(0, 1, 2, 3, 4))(*args)
+    for gf, gx in zip(g_fused, g_xla):
+        scale = max(1e-3, float(jnp.abs(gx).max()))
+        np.testing.assert_allclose(np.asarray(gf) / scale,
+                                   np.asarray(gx) / scale,
+                                   rtol=3e-2, atol=3e-2)
 
 
 def test_fused_train_grad_placeholder_bias_length1_target():

@@ -125,6 +125,19 @@ import functools
 import numpy as np
 
 
+def _dots_dtype():
+    """Input dtype for the in-kernel attention dots. bf16 inputs with f32
+    accumulation (preferred_element_type) are the MXU's native mode — f32
+    inputs are decomposed into ~3x the systolic passes — and the decoder
+    train step is attention-dot bound (r2 profiler verdict, BENCHMARKS.md).
+    Softmax, masking, bias and the softmax VJP stay in f32; only the matmul
+    INPUTS round to bf16. Default on; VQCPCB_PALLAS_BF16_DOTS=0 restores
+    exact-f32 dots (read at trace time)."""
+    if os.environ.get("VQCPCB_PALLAS_BF16_DOTS", "1") == "1":
+        return jnp.bfloat16
+    return jnp.float32
+
+
 def _dropout_keep(shape, rate):
     """Regenerable in-kernel dropout mask: True = keep."""
     bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
@@ -133,10 +146,10 @@ def _dropout_keep(shape, rate):
 
 
 def _train_fwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, bias_ref,
-                      out_ref, *, dropout_rate):
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
+                      out_ref, *, dropout_rate, dot_dtype):
+    q = q_ref[0].astype(dot_dtype)
+    k = k_ref[0].astype(dot_dtype)
+    v = v_ref[0].astype(dot_dtype)
     scores = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
     scores = scores + mask_ref[:] + bias_ref[0]
     w = jax.nn.softmax(scores, axis=-1)
@@ -144,17 +157,18 @@ def _train_fwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, bias_ref,
         pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
         keep = _dropout_keep(w.shape, dropout_rate)
         w = jnp.where(keep, w * (1.0 / (1.0 - dropout_rate)), 0.0)
-    out_ref[0] = jnp.dot(w, v, preferred_element_type=jnp.float32
+    out_ref[0] = jnp.dot(w.astype(dot_dtype), v,
+                         preferred_element_type=jnp.float32
                          ).astype(out_ref.dtype)
 
 
 def _train_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, bias_ref,
                       do_ref, dq_ref, dk_ref, dv_ref, ds_ref, *,
-                      dropout_rate):
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)
+                      dropout_rate, dot_dtype):
+    q = q_ref[0].astype(dot_dtype)
+    k = k_ref[0].astype(dot_dtype)
+    v = v_ref[0].astype(dot_dtype)
+    do = do_ref[0].astype(dot_dtype)
     scores = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
     scores = scores + mask_ref[:] + bias_ref[0]
     w = jax.nn.softmax(scores, axis=-1)
@@ -165,17 +179,19 @@ def _train_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, bias_ref,
         w_drop = jnp.where(keep, w * inv, 0.0)
     else:
         keep, inv, w_drop = None, 1.0, w
-    dv_ref[0] = jnp.dot(w_drop.T, do, preferred_element_type=jnp.float32
+    dv_ref[0] = jnp.dot(w_drop.astype(dot_dtype).T, do,
+                        preferred_element_type=jnp.float32
                         ).astype(dv_ref.dtype)
     dw = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
     if keep is not None:
         dw = jnp.where(keep, dw * inv, 0.0)
-    # softmax VJP: ds = w * (dw - sum(dw * w))
+    # softmax VJP (f32): ds = w * (dw - sum(dw * w))
     ds = w * (dw - jnp.sum(dw * w, axis=-1, keepdims=True))
     ds_ref[0] = ds.astype(ds_ref.dtype)
-    dq_ref[0] = jnp.dot(ds, k, preferred_element_type=jnp.float32
+    ds_d = ds.astype(dot_dtype)
+    dq_ref[0] = jnp.dot(ds_d, k, preferred_element_type=jnp.float32
                         ).astype(dq_ref.dtype)
-    dk_ref[0] = jnp.dot(ds.T, q, preferred_element_type=jnp.float32
+    dk_ref[0] = jnp.dot(ds_d.T, q, preferred_element_type=jnp.float32
                         ).astype(dk_ref.dtype)
 
 
@@ -219,7 +235,8 @@ def _fused_attention_train_fwd(dropout_rate, interpret, seed, q, k, v, mask,
     kf = k.reshape(b * h, s, d)
     vf = v.reshape(b * h, s, d)
     out = pl.pallas_call(
-        functools.partial(_train_fwd_kernel, dropout_rate=dropout_rate),
+        functools.partial(_train_fwd_kernel, dropout_rate=dropout_rate,
+                          dot_dtype=_dots_dtype()),
         grid=(b * h,),
         in_specs=_flat_specs(t, s, d, bias.shape[1], bias.shape[2]),
         out_specs=pl.BlockSpec((1, t, d), lambda i: (i, 0, 0),
@@ -240,7 +257,8 @@ def _fused_attention_train_bwd(dropout_rate, interpret, residuals, g):
     vf = v.reshape(b * h, s, d)
     gf = g.reshape(b * h, t, d)
     dq, dk, dv, ds = pl.pallas_call(
-        functools.partial(_train_bwd_kernel, dropout_rate=dropout_rate),
+        functools.partial(_train_bwd_kernel, dropout_rate=dropout_rate,
+                          dot_dtype=_dots_dtype()),
         grid=(b * h,),
         in_specs=_flat_specs(t, s, d, bias.shape[1], bias.shape[2]) + [
             pl.BlockSpec((1, t, d), lambda i: (i, 0, 0),
