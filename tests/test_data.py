@@ -142,6 +142,41 @@ def test_cpc_dataloader_contract(tmp_path, method):
                     assert neg[b, n, k].tobytes() in pool
 
 
+def test_val_negative_stream_decorrelated_and_deterministic(tmp_path):
+    """Regression (r3, BENCHMARKS.md "val plateau"): with the reference's
+    unshuffled val streams, each positive's negatives are CONSECUTIVE corpus
+    windows aligned with the positive stream (same-window collisions ->
+    bimodal per-k val accuracy). Val negatives must be (a) shuffled relative
+    to corpus order and (b) identical across epochs (deterministic metric)."""
+    corpus = SyntheticChoraleCorpus(num_chorales=8, min_beats=20,
+                                    max_beats=24, seed=0)
+    gen = BachCPCDataloaderGenerator(
+        num_tokens_per_block=16, num_blocks_left=3, num_blocks_right=3,
+        negative_sampling_method="random", num_negative_samples=5,
+        corpus=corpus, cache_root=str(tmp_path))
+    _, val1, _ = gen.dataloaders(batch_size=4)
+    b1 = next(val1)
+    _, val2, _ = gen.dataloaders(batch_size=4)
+    b2 = next(val2)
+    # deterministic across epochs
+    np.testing.assert_array_equal(b1["negative_samples"],
+                                  b2["negative_samples"])
+    np.testing.assert_array_equal(b1["x_left"], b2["x_left"])
+    # decorrelated from corpus order: the unshuffled stream would emit the
+    # val split's windows in order, so negatives[b, n] would be consecutive
+    # beats of one chorale. After shuffling, the first batch's negative
+    # windows must NOT equal the corpus-ordered prefix of the val split.
+    neg_split = gen.dataset_negative.splits()[1]
+    neg_bs = 4 * 5 * 3
+    ordered = neg_split[:neg_bs % len(neg_split) or neg_bs]
+    flat = b1["negative_samples"].transpose(0, 1, 2, 4, 3).reshape(
+        -1, 4, ordered.shape[-1])[:len(ordered)]
+    assert not np.array_equal(flat, ordered)
+    # the two negative streams (fwd/back) must differ too
+    assert not np.array_equal(b1["negative_samples"],
+                              b1["negative_samples_back"])
+
+
 GOLDEN_FINGERPRINT = (101, 26509, 143, 169)
 
 

@@ -189,6 +189,18 @@ class BachCPCDataloaderGenerator(DataloaderGenerator):
 
         def gen(pos, neg, shuffle):
             rng = self._rng if shuffle else None
+            # The negative stream is ALWAYS shuffled, even when the positive
+            # stream is not (val/test). The reference zips an unshuffled val
+            # DataLoader into the negative stream (chorale_dataset.py:578-585,
+            # bach_cpc_dataloader.py:203-215), which makes each positive's
+            # negatives CONSECUTIVE corpus windows deterministically aligned
+            # with the positive stream — on the synthetic corpus this produced
+            # a bimodal per-k val accuracy (0.17/0.93 by block) from
+            # same-window collisions and near-duplicate negative sets
+            # (BENCHMARKS.md "val plateau"). A fixed-seed RNG keeps val
+            # deterministic across epochs while decorrelating the streams.
+            neg_rng = rng if rng is not None else np.random.RandomState(
+                0x5EED + len(neg))
             # small corpora may hold fewer windows than one negative batch:
             # tile so every epoch yields at least one batch
             neg_pool = neg
@@ -201,7 +213,7 @@ class BachCPCDataloaderGenerator(DataloaderGenerator):
                 # limited by the positive stream, as with the reference's
                 # independently-sized DataLoaders
                 while True:
-                    yield from batch_iterator(neg_pool, neg_bs, rng)
+                    yield from batch_iterator(neg_pool, neg_bs, neg_rng)
 
             neg_iter = neg_stream()
             neg_back_iter = neg_stream()
