@@ -191,6 +191,22 @@ def test_bf16_kv_cache_knob(monkeypatch):
                                rtol=0.05, atol=0.05)
 
 
+def test_kv_cache_dtype_policy(monkeypatch):
+    """Backend-conditional default (bf16 on TPU only — measured
+    quality-neutral, scripts/measure_kv_dtype_effect.py) with explicit env
+    overrides in both directions. On this CPU test mesh the default must be
+    f32, which is what keeps the bit-match tests above meaningful."""
+    from vqcpcb_tpu.utils import kv_cache_dtype
+
+    monkeypatch.delenv("VQCPCB_KV_DTYPE", raising=False)
+    assert jax.default_backend() == "cpu"
+    assert kv_cache_dtype() is None
+    monkeypatch.setenv("VQCPCB_KV_DTYPE", "bfloat16")
+    assert kv_cache_dtype() == jnp.bfloat16
+    monkeypatch.setenv("VQCPCB_KV_DTYPE", "float32")
+    assert kv_cache_dtype() is None
+
+
 def test_forbidden_indices_never_sampled():
     decoder = make_decoder()
     params, source, _ = init_decoder(decoder)

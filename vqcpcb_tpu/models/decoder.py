@@ -28,7 +28,7 @@ from vqcpcb_tpu.models.data_processor import DataProcessor
 from vqcpcb_tpu.ops.losses import categorical_crossentropy
 from vqcpcb_tpu.ops.masks import anticausal_mask, causal_mask
 from vqcpcb_tpu.ops.transformer import TransformerDecoder, TransformerEncoder
-from vqcpcb_tpu.utils import flatten
+from vqcpcb_tpu.utils import flatten, kv_cache_dtype
 
 ATTENTION_NAME_MAPPINGS = dict(anticausal="AC", causal="C", full="F", diagonal="D")
 
@@ -291,8 +291,6 @@ class Decoder(nn.Module):
         Returns (caches, crosses): caches = per-layer (k, v) of shape
         (B, H, T, hd); crosses = per-layer cross context — (k_mem, v_mem) for
         attention layers, the (B, T, E) aligned branch for diagonal layers."""
-        import os
-
         memory = self.encode_memory(source, training=False)
         tgt_seq = self.shift_with_sos(self.embed_target(target))
         t_len = tgt_seq.shape[1]
@@ -300,12 +298,11 @@ class Decoder(nn.Module):
         tgt_mask = causal_mask(t_len)
         mem_mask = self.cross_mask(s_len, t_len)
         # the decode step is HBM-bound on cache reads (BENCHMARKS.md round-2
-        # profile); bf16 caches halve that traffic. Scores still accumulate
-        # in f32 (attention.step's preferred_element_type). Off by default:
-        # it breaks bit-match with the f32 full forward.
-        cache_dt = (jnp.bfloat16
-                    if os.environ.get("VQCPCB_KV_DTYPE") == "bfloat16"
-                    else None)
+        # profile); bf16 caches halve that traffic while scores still
+        # accumulate in f32 (attention.step's preferred_element_type).
+        # Default bf16 on TPU since round 3 — quality-neutral by measurement
+        # (see utils.kv_cache_dtype).
+        cache_dt = kv_cache_dtype()
         out = tgt_seq
         caches, crosses = [], []
         for layer in self.decoder_transformer.layers:

@@ -16,6 +16,7 @@ import jax.numpy as jnp
 from vqcpcb_tpu.ops.losses import categorical_crossentropy
 from vqcpcb_tpu.ops.masks import causal_mask
 from vqcpcb_tpu.ops.transformer import TransformerEncoder
+from vqcpcb_tpu.utils import kv_cache_dtype
 
 
 class PriorRelative(nn.Module):
@@ -91,19 +92,15 @@ class PriorRelative(nn.Module):
         self-attention K/V caches. x: (B, T) code indices.
 
         Returns caches: per-layer (k, v) of shape (B, H, T, hd)."""
-        import os
-
         b, num_tokens = x.shape
         x_seq = self.linear(self.embedding(x))
         sos = jnp.tile(self.sos, (b, 1, 1))
         x_seq = jnp.concatenate([sos, x_seq[:, :-1]], axis=1)
         mask = causal_mask(num_tokens)
-        # same HBM-traffic knob as Decoder.prefill: scores still accumulate
-        # in f32, but bf16 halves the cache-read bytes (off by default — it
-        # breaks bit-match with the f32 full forward)
-        cache_dt = (jnp.bfloat16
-                    if os.environ.get("VQCPCB_KV_DTYPE") == "bfloat16"
-                    else None)
+        # same HBM-traffic policy as Decoder.prefill: scores still accumulate
+        # in f32, bf16 halves the cache-read bytes; default bf16 on TPU
+        # (quality-neutral by measurement, see utils.kv_cache_dtype)
+        cache_dt = kv_cache_dtype()
         out = x_seq
         caches = []
         for layer in self.transformer.layers:

@@ -32,6 +32,29 @@ def unflatten(sequence: jnp.ndarray, num_channels: int) -> jnp.ndarray:
     return sequence.reshape((b, s // num_channels, num_channels) + sequence.shape[2:])
 
 
+def kv_cache_dtype():
+    """Sampler KV-cache dtype policy (None = keep f32).
+
+    Default on TPU is bfloat16: the decode step is HBM-bound on cache reads
+    (BENCHMARKS.md round-2 profile; bf16 caches measured 1.5-2.2x decode
+    throughput) and the round-3 quality evidence
+    (scripts/measure_kv_dtype_effect.py) found no model-judged cost — 99.3%
+    greedy token agreement and <0.01% NLL delta under the f32 model, with
+    scores still accumulated in f32. Elsewhere (CPU test mesh) the default
+    stays f32 so the greedy KV-scan-vs-full-forward bit-match invariants
+    keep their teeth. Override either way with VQCPCB_KV_DTYPE=
+    bfloat16|float32.
+    """
+    import jax
+
+    env = os.environ.get("VQCPCB_KV_DTYPE")
+    if env == "bfloat16":
+        return jnp.bfloat16
+    if env in ("float32", "f32"):
+        return None
+    return jnp.bfloat16 if jax.default_backend() == "tpu" else None
+
+
 def dict_pretty_print(d: Dict[str, Any], endstr: str = "\n") -> None:
     """Console pretty printer (reference: VQCPCB/utils.py:16-21)."""
     for key, value in d.items():
