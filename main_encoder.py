@@ -22,7 +22,9 @@ import numpy as np
 @click.option("--num_workers", type=int, default=0)
 @click.option("--num_epochs", type=int, default=None,
               help="override config num_epochs")
-def main(train, load, config_path, num_workers, num_epochs):
+@click.option("--num_batches", type=int, default=None,
+              help="override config num_batches (-1 = None: full corpus)")
+def main(train, load, config_path, num_workers, num_epochs, num_batches):
     import jax.numpy as jnp
 
     from vqcpcb_tpu import getters
@@ -47,9 +49,12 @@ def main(train, load, config_path, num_workers, num_epochs):
     else:
         model_dir = f"models/{config['savename']}_{timestamp}"
 
-    config["quantizer_kwargs"]["initialize"] = not load
+    # NoQuantization configs may omit the quantizer_kwargs block entirely
+    config.setdefault("quantizer_kwargs", {})["initialize"] = not load
     if num_epochs is not None:
         config["num_epochs"] = num_epochs
+    if num_batches is not None:
+        config["num_batches"] = None if num_batches < 0 else num_batches
 
     training_method = config["training_method"].lower()
     dataloader_generator = getters.get_dataloader_generator(

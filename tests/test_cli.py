@@ -60,7 +60,8 @@ def test_main_encoder_train_and_load(workdir):
     before = (model_dir / "metrics.jsonl").read_text().count("\n")
     result = runner.invoke(
         encoder_main,
-        ["-t", "-l", "-c", str(model_dir / "config.py"), "--num_epochs", "1"],
+        ["-t", "-l", "-c", str(model_dir / "config.py"), "--num_epochs", "1",
+         "--num_batches", "2"],
         catch_exceptions=False)
     assert result.exit_code == 0, result.output
     after = (model_dir / "metrics.jsonl").read_text().count("\n")
