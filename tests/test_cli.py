@@ -58,10 +58,12 @@ def test_main_encoder_train_and_load(workdir):
     # crash-resume: -t -l continues training into the same model dir
     # (reference behaviour: timestamp reuse, main_encoder.py:40-48)
     before = (model_dir / "metrics.jsonl").read_text().count("\n")
+    # --num_batches -1 maps to num_batches=None: a FULL-corpus epoch through
+    # the on-device metric accumulation (the epoch-boundary-hang geometry)
     result = runner.invoke(
         encoder_main,
         ["-t", "-l", "-c", str(model_dir / "config.py"), "--num_epochs", "1",
-         "--num_batches", "2"],
+         "--num_batches", "-1"],
         catch_exceptions=False)
     assert result.exit_code == 0, result.output
     after = (model_dir / "metrics.jsonl").read_text().count("\n")
