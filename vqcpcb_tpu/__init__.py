@@ -41,3 +41,21 @@ if _platform:
     import jax as _jax
 
     _jax.config.update("jax_platforms", _platform)
+
+# Persistent compilation cache: remote TPU compiles of the large train
+# programs have measured 20-75 min through the tunnel; caching the serialized
+# executables on disk makes every re-run (crash-resume, chained stages,
+# repeated benches) skip them. VQCPCB_COMPILE_CACHE=0 disables; any other
+# value overrides the cache directory.
+_cache = _os.environ.get("VQCPCB_COMPILE_CACHE", "")
+if _cache != "0":
+    import jax as _jax
+
+    _cache_dir = _cache or _os.path.join(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+        ".jax_cache")
+    try:
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    except Exception:  # backend without serialization support: run uncached
+        pass
