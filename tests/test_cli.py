@@ -66,8 +66,13 @@ def test_main_encoder_train_and_load(workdir):
          "--num_batches", "-1"],
         catch_exceptions=False)
     assert result.exit_code == 0, result.output
-    after = (model_dir / "metrics.jsonl").read_text().count("\n")
-    assert after > before
+    lines = (model_dir / "metrics.jsonl").read_text().splitlines()
+    assert len(lines) > before
+    # resume continues epoch numbering instead of restarting at 0
+    import json as _json
+    epochs = [_json.loads(l)["epoch"] for l in lines]
+    assert epochs == sorted(set(epochs)), epochs
+    assert epochs[-1] == len(lines) - 1
 
 
 def test_main_encoder_student_training(workdir):

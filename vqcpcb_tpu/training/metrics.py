@@ -25,6 +25,20 @@ class MetricsWriter:
             from vqcpcb_tpu.training.tb_writer import SummaryWriter
             self._tb = SummaryWriter(self.model_dir)
 
+    def epochs_logged(self) -> int:
+        """Epochs already recorded in metrics.jsonl; a crash-resumed run
+        (-t -l) continues numbering from here instead of restarting at 0."""
+        if not os.path.exists(self.jsonl_path):
+            return 0
+        last = -1
+        with open(self.jsonl_path) as f:
+            for line in f:
+                try:
+                    last = max(last, int(json.loads(line).get("epoch", -1)))
+                except (ValueError, json.JSONDecodeError):
+                    continue
+        return last + 1
+
     def write(self, epoch_id: int, train: Optional[Dict], val: Optional[Dict]):
         record = {"epoch": epoch_id, "time": time.time()}
         for split, quantities in (("train", train), ("val", val)):

@@ -297,7 +297,8 @@ class StudentEncoderTrainer:
                     num_workers=0, initialize=True, **kwargs):
         writer = MetricsWriter(self.model_dir, plot=plot)
         best_val = 1e8
-        for epoch_id in range(num_epochs):
+        start_epoch = writer.epochs_logged()  # resume continues numbering
+        for epoch_id in range(start_epoch, start_epoch + num_epochs):
             generator_train, generator_val, _ = \
                 self.dataloader_generator.dataloaders(
                     batch_size=batch_size, num_workers=num_workers)
