@@ -151,3 +151,32 @@ def test_tp_aligned_decoder_mesh_shapes_loss_identical():
     # vocab-sharded pre_softmax heads change the CE reduction ORDER across
     # mesh shapes (partial sums per shard), so parity is numeric, not bit
     np.testing.assert_allclose(losses[1], losses[2], rtol=1e-6)
+
+
+def test_sampler_batch_shards_over_data_axis():
+    """Production decode throughput scales across decodings/chips: the
+    KV-cached sampler run with its batch sharded over the 8-device 'data'
+    axis produces exactly the tokens of the unsharded run."""
+    from vqcpcb_tpu.models.decoder import Decoder
+    from tests.test_decoder import NUM_EVENTS, make_decoder, init_decoder
+
+    decoder = make_decoder("relative", "diagonal", "anticausal")
+    params, source, _ = init_decoder(decoder, batch=8)
+    tokens_init = jnp.zeros((8, NUM_EVENTS, 4), dtype=jnp.int32)
+    num_steps = NUM_EVENTS * 4
+
+    def run(src, tok):
+        return decoder.apply(
+            params, src, tok, jnp.int32(0), num_steps,
+            jax.random.PRNGKey(0), 1.0, 1, 0.0,
+            method=Decoder.sample_range)
+
+    want = np.asarray(run(source, tokens_init))
+
+    mesh = mesh_lib.make_mesh(num_model=1)
+    assert mesh.shape["data"] == 8
+    sharded = mesh_lib.shard_batch(
+        {"source": np.asarray(source), "tokens": np.asarray(tokens_init)},
+        mesh)
+    got = jax.device_get(run(sharded["source"], sharded["tokens"]))
+    np.testing.assert_array_equal(got, want)
