@@ -153,6 +153,30 @@ def test_tp_aligned_decoder_mesh_shapes_loss_identical():
     np.testing.assert_allclose(losses[1], losses[2], rtol=1e-6)
 
 
+def test_ema_quantizer_stats_match_under_dp():
+    """The EMA codebook update reduces counts/sums over the batch dim; with
+    the batch sharded over 8 devices the mutated 'ema' collection must equal
+    the single-device one (XLA inserts the cross-device reductions)."""
+    from vqcpcb_tpu.ops.quantizer import EMAProductVectorQuantizer
+
+    q = EMAProductVectorQuantizer(
+        codebook_size=8, codebook_dim=6, commitment_cost=0.25,
+        num_codebooks=2, ema_decay=0.9)
+    x = np.random.RandomState(0).randn(16, 12, 6).astype(np.float32)
+    variables = q.init({"params": jax.random.PRNGKey(0)}, jnp.asarray(x))
+
+    step = jax.jit(lambda v, xx: q.apply(v, xx, training=True,
+                                         mutable=["ema"])[1])
+    ema_1dev = jax.device_get(step(variables, jnp.asarray(x)))
+
+    mesh = mesh_lib.make_mesh(num_model=1)
+    x_sharded = mesh_lib.shard_batch({"x": x}, mesh)["x"]
+    ema_8dev = jax.device_get(step(variables, x_sharded))
+
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5),
+                 ema_1dev, ema_8dev)
+
+
 def test_sampler_batch_shards_over_data_axis():
     """Production decode throughput scales across decodings/chips: the
     KV-cached sampler run with its batch sharded over the 8-device 'data'
