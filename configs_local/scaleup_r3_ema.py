@@ -1,6 +1,6 @@
 """Round-3 EMA arm: scaleup_sustained at batch 64 + per-layer remat,
-12 epochs, num_batches=None (demonstrates the r3 on-device epoch-metrics
-fix at full-corpus epochs). EMA twin: scaleup_r3_ema.py.
+EMA codebook updates instead of the commitment loss — 6 epochs.
+Commitment twin: scaleup_r3_commitment.py.
 
 Base config notes (BASELINE.json configs[4]): larger product
 codebook + transformer downscaler on a Lakh-MIDI-scale symbolic corpus,

@@ -71,10 +71,11 @@ def main():
         shutil.rmtree(tmp, ignore_errors=True)
 
     # ---- 2. steady-state batch assembly (datasets now built in-memory) ----
+    tmp2 = tempfile.mkdtemp(prefix="vqcpcb_hp2_")
     gen = BachCPCDataloaderGenerator(
         num_tokens_per_block=16, num_blocks_left=6, num_blocks_right=6,
         negative_sampling_method="random", num_negative_samples=15,
-        corpus=corpus, cache_root=tempfile.mkdtemp(prefix="vqcpcb_hp2_"),
+        corpus=corpus, cache_root=tmp2,
         seed=3)
     # force the window tensors to exist before timing assembly
     gen.dataset_positive._windows = windows_pos
@@ -105,6 +106,7 @@ def main():
     record["host_share"] = round(host_ms / device_ms, 3)
     record["verdict"] = ("host-bound" if host_ms > device_ms else
                          "device-bound (prefetch hides host assembly)")
+    shutil.rmtree(tmp2, ignore_errors=True)
     print(json.dumps(record))
 
 

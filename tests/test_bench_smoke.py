@@ -21,3 +21,20 @@ def test_bench_runs_and_prints_json(monkeypatch, capsys):
     assert record["value"] > 0
     assert record["unit"] == "tokens/s"
     assert "vs_baseline" in record
+    assert "codebook_perplexity" in record
+
+
+def test_bench_perplexity_present_without_trained_phase(monkeypatch, capsys):
+    """codebook_perplexity must stay in the JSON line when the corpus-trained
+    phase is disabled (fallback: timed-phase model on a held-out batch)."""
+    monkeypatch.setenv("BENCH_BATCH_SIZE", "16")
+    monkeypatch.setenv("BENCH_GRU_HIDDEN", "16")
+    monkeypatch.setenv("BENCH_STEPS", "2")
+    monkeypatch.setenv("BENCH_WARMUP", "1")
+    monkeypatch.setenv("VQCPCB_BENCH_TRAINED", "0")
+    monkeypatch.setenv("VQCPCB_BENCH_SAMPLER", "0")
+    import bench
+    bench.main()
+    record = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert record["codebook_perplexity"] > 0
+    assert "trained_guard_ok" not in record

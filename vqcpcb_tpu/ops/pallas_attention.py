@@ -99,11 +99,17 @@ def use_pallas_attention_train() -> bool:
     (scripts/check_pallas_train_tpu.py) and an on-chip training soak shows
     the loss curves track the XLA path within 0.1%/epoch
     (scripts/soak_pallas_train.py, BENCHMARKS.md). Set
-    VQCPCB_PALLAS_ATTENTION_TRAIN=0 for the XLA fallback — required for
-    tensor parallelism over real multi-chip meshes (pallas_call does not
-    auto-partition under GSPMD; single-chip and DP-only meshes are fine)."""
-    return (os.environ.get("VQCPCB_PALLAS_ATTENTION_TRAIN", "1") == "1"
-            and jax.default_backend() == "tpu")
+    VQCPCB_PALLAS_ATTENTION_TRAIN=0 for the XLA fallback — forced
+    automatically once a tensor-parallel mesh is constructed (pallas_call
+    does not auto-partition under GSPMD; single-chip and DP-only meshes are
+    fine). VQCPCB_PALLAS_ATTENTION_TRAIN=1 in the env overrides the TP
+    guard for experts running a head-count-divisible shard_map setup."""
+    from vqcpcb_tpu.parallel import mesh as mesh_lib
+
+    env = os.environ.get("VQCPCB_PALLAS_ATTENTION_TRAIN")
+    if env is not None:
+        return env == "1" and jax.default_backend() == "tpu"
+    return (not mesh_lib.TP_ACTIVE) and jax.default_backend() == "tpu"
 
 
 # =============================================================================

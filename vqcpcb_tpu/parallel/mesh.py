@@ -22,13 +22,22 @@ DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
 
+# Set to True whenever a mesh with a non-trivial model axis is constructed;
+# ops that cannot auto-partition under GSPMD (the fused Pallas training
+# attention shards 'model' across heads) consult this to fall back to XLA.
+TP_ACTIVE = False
+
+
 def make_mesh(num_model: int = 1,
               devices=None) -> Mesh:
     """Mesh of shape (data, model) over the available devices; `data` is
     inferred as num_devices // num_model."""
+    global TP_ACTIVE
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     assert n % num_model == 0, (n, num_model)
+    if num_model > 1:
+        TP_ACTIVE = True
     arr = np.asarray(devices).reshape(n // num_model, num_model)
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 

@@ -84,17 +84,20 @@ def load_state(model_dir: str, early_stopped: bool,
         try:
             restored = ckptr.restore(path, item=target,
                                      restore_args=restore_args)
-        except Exception:
-            restored = None
-        if restored is not None:
-            # orbax restores the STORED shapes even when the target's
-            # differ, so detect pre-r2 flat-QKV layouts by shape
-            shapes_ok = all(
-                np.shape(g) == np.shape(w)
-                for g, w in zip(jax.tree_util.tree_leaves(restored),
-                                jax.tree_util.tree_leaves(target)))
-            if shapes_ok:
-                return restored
+        except Exception as exc:
+            # Only a shape/structure mismatch is a migration case; anything
+            # else (missing/corrupt checkpoint) must surface as itself.
+            try:
+                return _adapt_legacy_layout(path, target)
+            except Exception:
+                raise exc
+        got = jax.tree_util.tree_leaves(restored)
+        want = jax.tree_util.tree_leaves(target)
+        # orbax restores the STORED shapes even when the target's differ,
+        # so detect pre-r2 flat-QKV layouts by shape
+        if len(got) == len(want) and all(
+                np.shape(g) == np.shape(w) for g, w in zip(got, want)):
+            return restored
         # pre-r2 flat-QKV checkpoints: migrate layouts leaf-by-leaf
         return _adapt_legacy_layout(path, target)
     return ckptr.restore(path)
