@@ -153,6 +153,23 @@ def test_tp_aligned_decoder_mesh_shapes_loss_identical():
     np.testing.assert_allclose(losses[1], losses[2], rtol=1e-6)
 
 
+def test_tp_mesh_disables_fused_train_attention(monkeypatch):
+    """Constructing a model>1 mesh must flip the fused-Pallas-train default
+    off (pallas_call cannot auto-partition under GSPMD); an explicit env
+    override still wins."""
+    from vqcpcb_tpu.ops import pallas_attention as pa
+
+    monkeypatch.delenv("VQCPCB_PALLAS_ATTENTION_TRAIN", raising=False)
+    monkeypatch.setattr(pa.jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(mesh_lib, "TP_ACTIVE", False)
+    assert pa.use_pallas_attention_train()
+    mesh_lib.make_mesh(num_model=2)
+    assert mesh_lib.TP_ACTIVE
+    assert not pa.use_pallas_attention_train()
+    monkeypatch.setenv("VQCPCB_PALLAS_ATTENTION_TRAIN", "1")
+    assert pa.use_pallas_attention_train()
+
+
 def test_ema_quantizer_stats_match_under_dp():
     """The EMA codebook update reduces counts/sums over the batch dim; with
     the batch sharded over 8 devices the mutated 'ema' collection must equal
