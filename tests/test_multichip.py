@@ -153,21 +153,74 @@ def test_tp_aligned_decoder_mesh_shapes_loss_identical():
     np.testing.assert_allclose(losses[1], losses[2], rtol=1e-6)
 
 
-def test_tp_mesh_disables_fused_train_attention(monkeypatch):
-    """Constructing a model>1 mesh must flip the fused-Pallas-train default
-    off (pallas_call cannot auto-partition under GSPMD); an explicit env
-    override still wins."""
-    from vqcpcb_tpu.ops import pallas_attention as pa
+def test_fused_train_attention_tp_shard_map_parity():
+    """On a TP mesh the fused training attention runs through a shard_map
+    (batch over 'data', heads over 'model'); outputs AND grads must match the
+    unsharded kernel (dropout off — the in-kernel PRNG is hardware-gated)."""
+    from vqcpcb_tpu.ops.pallas_attention import (
+        fused_attention_train, fused_attention_train_tp)
 
-    monkeypatch.delenv("VQCPCB_PALLAS_ATTENTION_TRAIN", raising=False)
-    monkeypatch.setattr(pa.jax, "default_backend", lambda: "tpu")
-    monkeypatch.setattr(mesh_lib, "TP_ACTIVE", False)
-    assert pa.use_pallas_attention_train()
-    mesh_lib.make_mesh(num_model=2)
-    assert mesh_lib.TP_ACTIVE
-    assert not pa.use_pallas_attention_train()
-    monkeypatch.setenv("VQCPCB_PALLAS_ATTENTION_TRAIN", "1")
-    assert pa.use_pallas_attention_train()
+    rng = np.random.RandomState(0)
+    b, h, t, s, d = 8, 4, 16, 16, 8
+    q = jnp.asarray(rng.randn(b, h, t, d), jnp.float32)
+    k = jnp.asarray(rng.randn(b, h, s, d), jnp.float32)
+    v = jnp.asarray(rng.randn(b, h, s, d), jnp.float32)
+    mask = jnp.asarray(np.triu(np.full((t, s), -1e9), 1), jnp.float32)
+    bias4 = jnp.asarray(0.1 * rng.randn(b, h, t, s), jnp.float32)
+    seed = jnp.zeros((1,), jnp.int32)
+    mesh = mesh_lib.make_mesh(num_model=2)
+
+    def loss_ref(q, k, v, bias4):
+        out = fused_attention_train(
+            0.0, True, seed, q, k, v, mask,
+            bias4.reshape(b * h, t, s))
+        return jnp.sum(out * out), out
+
+    def loss_tp(q, k, v, bias4):
+        out = fused_attention_train_tp(
+            mesh, 0.0, True, seed, q, k, v, mask, bias4)
+        return jnp.sum(out * out), out
+
+    (l_ref, out_ref), g_ref = jax.value_and_grad(
+        loss_ref, argnums=(0, 1, 2, 3), has_aux=True)(q, k, v, bias4)
+    (l_tp, out_tp), g_tp = jax.value_and_grad(
+        loss_tp, argnums=(0, 1, 2, 3), has_aux=True)(q, k, v, bias4)
+
+    np.testing.assert_allclose(np.asarray(out_tp), np.asarray(out_ref),
+                               rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(float(l_tp), float(l_ref), rtol=1e-5)
+    for a, b_ in zip(g_tp, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_decoder_train_loss_via_tp_shard_map_kernel(monkeypatch):
+    """End-to-end: the aligned decoder's training loss on a (4,2) mesh routed
+    through the shard_map'd fused kernel matches the XLA attention path."""
+    from vqcpcb_tpu.ops import pallas_attention as pa
+    from tests.test_decoder import make_decoder, init_decoder
+
+    monkeypatch.setenv("VQCPCB_PALLAS_BF16_DOTS", "0")  # exact-f32 dots
+    decoder = make_decoder("relative", "diagonal", "anticausal")
+    params, source, target = init_decoder(decoder, batch=8)
+    mesh = mesh_lib.make_mesh(num_model=2)
+    p = mesh_lib.shard_params(params["params"], mesh)
+    sharded = mesh_lib.shard_batch(
+        {"s": np.asarray(source), "t": np.asarray(target)}, mesh)
+
+    def loss(p, s, t):
+        return decoder.apply({"params": p}, s, t, training=True,
+                             rngs={"dropout": jax.random.PRNGKey(0)})["loss"]
+
+    want = float(jax.device_get(jax.jit(loss)(p, sharded["s"], sharded["t"])))
+
+    orig_tp = pa.fused_attention_train_tp
+    monkeypatch.setattr(
+        pa, "fused_attention_train_tp",
+        lambda mesh, dr, interp, *a: orig_tp(mesh, dr, True, *a))
+    monkeypatch.setattr(pa, "use_pallas_attention_train", lambda: True)
+    got = float(jax.device_get(jax.jit(loss)(p, sharded["s"], sharded["t"])))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
 
 
 def test_ema_quantizer_stats_match_under_dp():

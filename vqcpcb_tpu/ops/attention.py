@@ -141,26 +141,39 @@ class MultiheadAttention(nn.Module):
         # scatter-free transpose (pallas_attention.py)
         if training:
             from vqcpcb_tpu.ops.pallas_attention import (
-                NEG_BIG, fused_attention_train, use_pallas_attention_train)
-            if use_pallas_attention_train():
-                b, h, t, d = q.shape
-                s = k.shape[2]
+                NEG_BIG, fused_attention_train, fused_attention_train_tp,
+                use_pallas_attention_train)
+            from vqcpcb_tpu.parallel import mesh as mesh_lib
+            b, h, t, d = q.shape
+            s = k.shape[2]
+            # on a TP mesh the kernel must go through the shard_map wrapper;
+            # if the head/batch axes don't divide the mesh, use the XLA path
+            tp_mesh = mesh_lib.CURRENT_MESH if mesh_lib.TP_ACTIVE else None
+            tp_ok = (tp_mesh is None
+                     or (h % tp_mesh.shape[mesh_lib.MODEL_AXIS] == 0
+                         and b % tp_mesh.shape[mesh_lib.DATA_AXIS] == 0))
+            if use_pallas_attention_train() and tp_ok:
                 mask_f = (jnp.zeros((t, s), jnp.float32) if attn_mask is None
                           else jnp.maximum(attn_mask.astype(jnp.float32),
                                            NEG_BIG))
                 if self.e1 is not None:
-                    bias = subsampled_relative_bias(
-                        q, self.e1, self.e2).reshape(b * h, t, s)
+                    bias4 = subsampled_relative_bias(q, self.e1, self.e2)
                 else:
-                    bias = jnp.zeros((b * h, 1, 1), jnp.float32)
+                    bias4 = jnp.zeros((b, h, 1, 1), jnp.float32)
                 if self.dropout > 0.0:
                     seed = jax.random.randint(
                         self.make_rng("dropout"), (1,), 0,
                         jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
                 else:
                     seed = jnp.zeros((1,), jnp.int32)
-                out = fused_attention_train(
-                    float(self.dropout), False, seed, q, k, v, mask_f, bias)
+                if tp_mesh is not None:
+                    out = fused_attention_train_tp(
+                        tp_mesh, float(self.dropout), False, seed,
+                        q, k, v, mask_f, bias4)
+                else:
+                    out = fused_attention_train(
+                        float(self.dropout), False, seed, q, k, v, mask_f,
+                        bias4.reshape(b * h, bias4.shape[2], bias4.shape[3]))
                 out = out.transpose(0, 2, 1, 3).reshape(b, t, h * d)
                 return self.out_proj(out.astype(query.dtype)), None
 

@@ -99,17 +99,13 @@ def use_pallas_attention_train() -> bool:
     (scripts/check_pallas_train_tpu.py) and an on-chip training soak shows
     the loss curves track the XLA path within 0.1%/epoch
     (scripts/soak_pallas_train.py, BENCHMARKS.md). Set
-    VQCPCB_PALLAS_ATTENTION_TRAIN=0 for the XLA fallback — forced
-    automatically once a tensor-parallel mesh is constructed (pallas_call
-    does not auto-partition under GSPMD; single-chip and DP-only meshes are
-    fine). VQCPCB_PALLAS_ATTENTION_TRAIN=1 in the env overrides the TP
-    guard for experts running a head-count-divisible shard_map setup."""
-    from vqcpcb_tpu.parallel import mesh as mesh_lib
-
-    env = os.environ.get("VQCPCB_PALLAS_ATTENTION_TRAIN")
-    if env is not None:
-        return env == "1" and jax.default_backend() == "tpu"
-    return (not mesh_lib.TP_ACTIVE) and jax.default_backend() == "tpu"
+    VQCPCB_PALLAS_ATTENTION_TRAIN=0 for the XLA fallback. On tensor-parallel
+    meshes the caller (ops/attention.py) routes through the shard_map wrapper
+    fused_attention_train_tp (pallas_call does not auto-partition under
+    GSPMD) and falls back to XLA when the head/batch axes don't divide the
+    mesh."""
+    return (os.environ.get("VQCPCB_PALLAS_ATTENTION_TRAIN", "1") == "1"
+            and jax.default_backend() == "tpu")
 
 
 # =============================================================================
@@ -302,3 +298,51 @@ def _fused_attention_train_bwd(dropout_rate, interpret, residuals, g):
 
 fused_attention_train.defvjp(_fused_attention_train_fwd,
                              _fused_attention_train_bwd)
+
+
+def fused_attention_train_tp(mesh, dropout_rate, interpret, seed,
+                             q, k, v, mask, bias4):
+    """fused_attention_train under a DPxTP mesh via shard_map.
+
+    pallas_call cannot be auto-partitioned by GSPMD, so the kernel is wrapped
+    in a shard_map that splits the batch axis over 'data' and the HEAD axis
+    over 'model' — exactly the head-aligned layout TP_RULES give the QKV
+    projections and rel_e1/e2 (parallel/mesh.py), so the forced in_specs are
+    no-op reshards in a TP train step. Each shard runs the kernel on its
+    local (b_local * h_local) grid; the dropout seed is offset per shard so
+    masks stay decorrelated across devices.
+
+    bias4: (B, H, T, S) — or a (B, H, 1, 1) zero placeholder — NOT flattened,
+    so the head axis is shardable. Requires H % model == 0, B % data == 0.
+    """
+    import functools as _ft
+    try:
+        from jax import shard_map as _sm
+        shard_map = _ft.partial(_sm, check_vma=False)
+    except ImportError:  # older jax: experimental API, check_rep kwarg
+        from jax.experimental.shard_map import shard_map as _sm
+        shard_map = _ft.partial(_sm, check_rep=False)
+
+    from vqcpcb_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, P
+
+    b, h, t, d = q.shape
+    n_data = mesh.shape[DATA_AXIS]
+    n_model = mesh.shape[MODEL_AXIS]
+    lb, lh = b // n_data, h // n_model
+
+    def local(seed, q, k, v, mask, bias4):
+        # distinct dropout streams per shard: the kernel seeds per grid step
+        # with seed + program_id, so shard offsets step by the local grid
+        shard = (jax.lax.axis_index(DATA_AXIS) * n_model
+                 + jax.lax.axis_index(MODEL_AXIS))
+        seed = seed + shard.astype(seed.dtype) * np.int32(lb * lh)
+        bias_flat = bias4.reshape(lb * lh, bias4.shape[2], bias4.shape[3])
+        return fused_attention_train(dropout_rate, interpret, seed,
+                                     q, k, v, mask, bias_flat)
+
+    sharded = P(DATA_AXIS, MODEL_AXIS, None, None)
+    return shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), sharded, sharded, sharded, P(None, None), sharded),
+        out_specs=sharded,
+    )(seed, q, k, v, mask, bias4)

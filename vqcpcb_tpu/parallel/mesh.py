@@ -23,23 +23,26 @@ MODEL_AXIS = "model"
 
 
 # Set to True whenever a mesh with a non-trivial model axis is constructed;
-# ops that cannot auto-partition under GSPMD (the fused Pallas training
-# attention shards 'model' across heads) consult this to fall back to XLA.
+# pallas_call cannot be auto-partitioned by GSPMD, so the fused training
+# attention consults this to wrap itself in a shard_map over the current
+# mesh (head axis on 'model') instead of relying on sharding propagation.
 TP_ACTIVE = False
+CURRENT_MESH: "Mesh | None" = None
 
 
 def make_mesh(num_model: int = 1,
               devices=None) -> Mesh:
     """Mesh of shape (data, model) over the available devices; `data` is
     inferred as num_devices // num_model."""
-    global TP_ACTIVE
+    global TP_ACTIVE, CURRENT_MESH
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     assert n % num_model == 0, (n, num_model)
-    if num_model > 1:
-        TP_ACTIVE = True
+    TP_ACTIVE = num_model > 1          # tracks the latest-constructed mesh
     arr = np.asarray(devices).reshape(n // num_model, num_model)
-    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+    mesh = Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+    CURRENT_MESH = mesh
+    return mesh
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
