@@ -147,3 +147,17 @@ def params_shardings(params, mesh: Mesh):
 def shard_params(params, mesh: Mesh):
     shardings = params_shardings(params, mesh)
     return jax.tree.map(jax.device_put, params, shardings)
+
+
+def place_state(state, mesh: Mesh):
+    """Place a TrainState on the mesh: params follow the TP rules
+    (replicated when model=1), optimizer moments and mutable collections
+    replicate (shared by all four trainers so TP meshes shard every
+    family's params, not just the encoder's)."""
+    params = shard_params(state.params, mesh)
+    rep = replicated(mesh)
+    placed = {f: jax.tree.map(lambda x: jax.device_put(x, rep),
+                              getattr(state, f))
+              for f in ("opt_state", "batch_stats")
+              if getattr(state, f, None) is not None}
+    return state.replace(params=params, **placed)

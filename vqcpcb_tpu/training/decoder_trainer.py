@@ -170,8 +170,7 @@ class DecoderTrainer:
         self.tx = make_optimizer(lr, schedule_lr)
         params = variables["params"]
         state = TrainState(params=params, opt_state=self.tx.init(params), step=0)
-        rep = mesh_lib.replicated(self.mesh)
-        self.state = jax.tree.map(lambda x: jax.device_put(x, rep), state)
+        self.state = mesh_lib.place_state(state, self.mesh)
         self._train_step = self._make_train_step(self.tx)
         return self.state
 
@@ -183,8 +182,7 @@ class DecoderTrainer:
             raise RuntimeError("init_state before load")
         restored = checkpoints.load_state(
             self.model_dir, early_stopped, target=jax.device_get(self.state))
-        rep = mesh_lib.replicated(self.mesh)
-        self.state = jax.tree.map(lambda x: jax.device_put(x, rep), restored)
+        self.state = mesh_lib.place_state(restored, self.mesh)
 
     # ---- training loop (reference: decoder.py:310-429) -----------------------
 

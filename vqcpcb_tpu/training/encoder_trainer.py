@@ -120,16 +120,10 @@ class VQCPCEncoderTrainer:
         return self.state
 
     def _place(self, state: TrainState) -> TrainState:
-        """Params/opt state follow the TP rules (replicated for model=1),
-        everything on the mesh."""
-        shardings = mesh_lib.params_shardings(state.params, self.mesh)
-        params = jax.tree.map(jax.device_put, state.params, shardings)
-        rep = mesh_lib.replicated(self.mesh)
-        opt_state = jax.tree.map(lambda x: jax.device_put(x, rep), state.opt_state)
-        batch_stats = jax.tree.map(lambda x: jax.device_put(x, rep),
-                                   state.batch_stats)
-        return TrainState(params=params, opt_state=opt_state,
-                          batch_stats=batch_stats, step=state.step)
+        """Params follow the TP rules (replicated for model=1), optimizer
+        moments / mutable collections replicate (parallel/mesh.place_state,
+        shared by all four trainers)."""
+        return mesh_lib.place_state(state, self.mesh)
 
     # ---- jitted steps --------------------------------------------------------
 

@@ -122,8 +122,7 @@ class PriorTrainer:
         self.tx = make_optimizer(lr, schedule_lr=False)
         params = variables["params"]
         state = TrainState(params=params, opt_state=self.tx.init(params), step=0)
-        rep = mesh_lib.replicated(self.mesh)
-        self.state = jax.tree.map(lambda a: jax.device_put(a, rep), state)
+        self.state = mesh_lib.place_state(state, self.mesh)
         self._train_step = self._make_train_step(self.tx)
         return self.state
 
@@ -193,8 +192,7 @@ class PriorTrainer:
             raise RuntimeError("init_state before load")
         restored = checkpoints.load_state(
             self.model_dir, early_stopped, target=jax.device_get(self.state))
-        rep = mesh_lib.replicated(self.mesh)
-        self.state = jax.tree.map(lambda a: jax.device_put(a, rep), restored)
+        self.state = mesh_lib.place_state(restored, self.mesh)
 
     # ---- generation (reference: prior_relative.py:308-368) -------------------
 

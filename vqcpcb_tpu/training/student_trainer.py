@@ -139,10 +139,9 @@ class StudentEncoderTrainer:
         }
         batch_stats = {k: dict(v) for k, v in enc_vars.items()
                        if k != "params"}
-        rep = mesh_lib.replicated(self.mesh)
         state = TrainState(params=params, opt_state=opt_state,
                            batch_stats=batch_stats, step=0)
-        self.state = jax.tree.map(lambda a: jax.device_put(a, rep), state)
+        self.state = mesh_lib.place_state(state, self.mesh)
         self._build_steps()
         return self.state
 
@@ -339,5 +338,4 @@ class StudentEncoderTrainer:
             raise RuntimeError("init_state before load")
         restored = checkpoints.load_state(
             self.model_dir, early_stopped, target=jax.device_get(self.state))
-        rep = mesh_lib.replicated(self.mesh)
-        self.state = jax.tree.map(lambda a: jax.device_put(a, rep), restored)
+        self.state = mesh_lib.place_state(restored, self.mesh)
