@@ -274,3 +274,17 @@ def test_sampler_batch_shards_over_data_axis():
         mesh)
     got = jax.device_get(run(sharded["source"], sharded["tokens"]))
     np.testing.assert_array_equal(got, want)
+
+    # TP mesh: params sharded by head over 'model', batch over 'data' —
+    # greedy output must still be exact (sampler is pure XLA, GSPMD shards)
+    mesh_tp = mesh_lib.make_mesh(num_model=2)
+    p_tp = mesh_lib.shard_params(params["params"], mesh_tp)
+    sharded_tp = mesh_lib.shard_batch(
+        {"source": np.asarray(source), "tokens": np.asarray(tokens_init)},
+        mesh_tp)
+
+    got_tp = jax.device_get(decoder.apply(
+        {"params": p_tp}, sharded_tp["source"], sharded_tp["tokens"],
+        jnp.int32(0), num_steps, jax.random.PRNGKey(0), 1.0, 1, 0.0,
+        method=Decoder.sample_range))
+    np.testing.assert_array_equal(got_tp, want)
