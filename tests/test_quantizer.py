@@ -158,3 +158,44 @@ def test_ema_quantizer_unit():
     # eval does not mutate
     out2 = q.apply(variables, x, training=False)
     assert len(out2) == 3
+
+
+def test_ema_init_invariant_preserves_unhit_codes():
+    """ema_sums == codebooks * cluster_size at init: a code never selected in
+    the first batch must stay ~at its initialization (decayed toward itself),
+    not collapse to the origin."""
+    from vqcpcb_tpu.ops.quantizer import EMAProductVectorQuantizer
+
+    q = EMAProductVectorQuantizer(codebook_size=8, codebook_dim=2,
+                                  commitment_cost=0.25, num_codebooks=1,
+                                  ema_decay=0.9)
+    # inputs pinned near one point -> at most a couple of codes get hits
+    x = jnp.asarray(100.0 + 0.01 * np.random.RandomState(0).randn(4, 6, 2),
+                    jnp.float32)
+    variables = q.init({"params": jax.random.PRNGKey(0)}, x)
+    np.testing.assert_allclose(
+        np.asarray(variables["ema"]["ema_sums"]),
+        np.asarray(variables["ema"]["codebooks"])
+        * np.asarray(variables["ema"]["cluster_size"])[..., None])
+    (_, idx, _), new_vars = q.apply(variables, x, training=True,
+                                    mutable=["ema"])
+    hit = np.zeros(8, bool)
+    hit[np.asarray(idx).ravel()] = True
+    before = np.asarray(variables["ema"]["codebooks"])[0]
+    after = np.asarray(new_vars["ema"]["codebooks"])[0]
+    for code in np.nonzero(~hit)[0]:
+        assert np.linalg.norm(after[code]) > 0.1, code   # not wiped to origin
+        np.testing.assert_allclose(after[code], before[code], rtol=0.2)
+
+
+def test_ema_quantizer_rejects_corrupt_labels():
+    from vqcpcb_tpu.ops.quantizer import EMAProductVectorQuantizer
+    import pytest
+
+    q = EMAProductVectorQuantizer(codebook_size=4, codebook_dim=2,
+                                  commitment_cost=0.25, num_codebooks=1)
+    x = jnp.zeros((2, 3, 2), jnp.float32)
+    variables = q.init({"params": jax.random.PRNGKey(0)}, x)
+    with pytest.raises(NotImplementedError):
+        q.apply(variables, x, training=True, corrupt_labels=True,
+                mutable=["ema"])

@@ -146,9 +146,14 @@ class MultiheadAttention(nn.Module):
             from vqcpcb_tpu.parallel import mesh as mesh_lib
             b, h, t, d = q.shape
             s = k.shape[2]
-            # on a TP mesh the kernel must go through the shard_map wrapper;
-            # if the head/batch axes don't divide the mesh, use the XLA path
-            tp_mesh = mesh_lib.CURRENT_MESH if mesh_lib.TP_ACTIVE else None
+            # pallas_call has no GSPMD partitioning rule: on ANY multi-device
+            # mesh (pure DP included) a bare call would force its operands
+            # replicated — so the kernel goes through the shard_map wrapper,
+            # batch on 'data' and heads on 'model'. Falls back to XLA when
+            # the axes don't divide the mesh.
+            tp_mesh = mesh_lib.CURRENT_MESH
+            if tp_mesh is not None and tp_mesh.devices.size == 1:
+                tp_mesh = None
             tp_ok = (tp_mesh is None
                      or (h % tp_mesh.shape[mesh_lib.MODEL_AXIS] == 0
                          and b % tp_mesh.shape[mesh_lib.DATA_AXIS] == 0))

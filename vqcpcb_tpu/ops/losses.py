@@ -71,7 +71,6 @@ def categorical_crossentropy(value: Sequence[jnp.ndarray],
         mask = jnp.ones_like(target)
     mask = mask.astype(jnp.float32)
     total = 0.0
-    denom = None
     for c, logits in enumerate(value):
         logits = logits.astype(jnp.float32)
         logp = jax.nn.log_softmax(logits, axis=-1)
@@ -81,10 +80,11 @@ def categorical_crossentropy(value: Sequence[jnp.ndarray],
                                  dtype=jnp.float32)
         nll = -(logp * one_hot).sum(axis=-1)
         m = mask[..., c]
-        total = total + (nll * m).sum()
-        d = m.sum()
-        denom = d if denom is None else denom
-    return total / jnp.maximum(denom, 1.0)
+        # each channel normalised by ITS OWN masked count — identical to the
+        # reference when counts match across channels (they do for the
+        # event-level masks both codebases build), well-defined when not
+        total = total + (nll * m).sum() / jnp.maximum(m.sum(), 1.0)
+    return total
 
 
 def distilled_categorical_crossentropy(value: Sequence[jnp.ndarray],

@@ -197,6 +197,52 @@ def _train_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, bias_ref,
                         ).astype(dk_ref.dtype)
 
 
+def _train_bwd_kernel_nobias(seed_ref, q_ref, k_ref, v_ref, mask_ref,
+                             bias_ref, do_ref, dq_ref, dk_ref, dv_ref,
+                             dmask_ref, *, dropout_rate, dot_dtype):
+    """Backward for the zero-placeholder-bias case: the per-(b,h) score
+    gradient is only needed summed over (b, h) (the mask cotangent), so it is
+    ACCUMULATED into a single (T, S) block across the sequential TPU grid
+    instead of materialising the full (B*H, T, S) f32 tensor to HBM — the
+    score-matrix round-trip this kernel family exists to avoid."""
+    q = q_ref[0].astype(dot_dtype)
+    k = k_ref[0].astype(dot_dtype)
+    v = v_ref[0].astype(dot_dtype)
+    do = do_ref[0].astype(dot_dtype)
+    scores = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+    scores = scores + mask_ref[:] + bias_ref[0]
+    w = jax.nn.softmax(scores, axis=-1)
+    if dropout_rate > 0.0:
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+        keep = _dropout_keep(w.shape, dropout_rate)
+        inv = 1.0 / (1.0 - dropout_rate)
+        w_drop = jnp.where(keep, w * inv, 0.0)
+    else:
+        keep, inv, w_drop = None, 1.0, w
+    dv_ref[0] = jnp.dot(w_drop.astype(dot_dtype).T, do,
+                        preferred_element_type=jnp.float32
+                        ).astype(dv_ref.dtype)
+    dw = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
+    if keep is not None:
+        dw = jnp.where(keep, dw * inv, 0.0)
+    ds = w * (dw - jnp.sum(dw * w, axis=-1, keepdims=True))
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        dmask_ref[:] = ds
+
+    @pl.when(i > 0)
+    def _acc():
+        dmask_ref[:] = dmask_ref[:] + ds
+
+    ds_d = ds.astype(dot_dtype)
+    dq_ref[0] = jnp.dot(ds_d, k, preferred_element_type=jnp.float32
+                        ).astype(dq_ref.dtype)
+    dk_ref[0] = jnp.dot(ds_d.T, q, preferred_element_type=jnp.float32
+                        ).astype(dk_ref.dtype)
+
+
 def _flat_specs(t, s, d, bt, bs):
     return [
         pl.BlockSpec(memory_space=pltpu.SMEM),                      # seed
@@ -258,10 +304,12 @@ def _fused_attention_train_bwd(dropout_rate, interpret, residuals, g):
     kf = k.reshape(b * h, s, d)
     vf = v.reshape(b * h, s, d)
     gf = g.reshape(b * h, t, d)
-    dq, dk, dv, ds = pl.pallas_call(
-        functools.partial(_train_bwd_kernel, dropout_rate=dropout_rate,
-                          dot_dtype=_dots_dtype()),
-        grid=(b * h,),
+    # the (B*H, 1, 1) zero placeholder is caller-constructed (never a
+    # parameter), so its cotangent is zeros; match BOTH dims — a length-1
+    # target (t == 1, s > 1) would otherwise return a (B*H, 1, s) cotangent
+    # for the (B*H, 1, 1) primal, which custom_vjp rejects
+    real_bias = bias.shape[1] == t and bias.shape[2] == s
+    io_specs = dict(
         in_specs=_flat_specs(t, s, d, bias.shape[1], bias.shape[2]) + [
             pl.BlockSpec((1, t, d), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -273,25 +321,44 @@ def _fused_attention_train_bwd(dropout_rate, interpret, residuals, g):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, s, d), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t, s), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b * h, t, d), q.dtype),
             jax.ShapeDtypeStruct((b * h, s, d), k.dtype),
             jax.ShapeDtypeStruct((b * h, s, d), v.dtype),
-            jax.ShapeDtypeStruct((b * h, t, s), jnp.float32),
         ],
-        interpret=interpret,
-    )(seed, qf, kf, vf, mask, bias, gf)
+    )
+    if real_bias:
+        # dbias needs the full per-(b,h) score gradient
+        io_specs["out_specs"].append(
+            pl.BlockSpec((1, t, s), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM))
+        io_specs["out_shape"].append(
+            jax.ShapeDtypeStruct((b * h, t, s), jnp.float32))
+        dq, dk, dv, ds = pl.pallas_call(
+            functools.partial(_train_bwd_kernel, dropout_rate=dropout_rate,
+                              dot_dtype=_dots_dtype()),
+            grid=(b * h,), interpret=interpret,
+            **io_specs)(seed, qf, kf, vf, mask, bias, gf)
+        dmask = ds.sum(axis=0)               # mask broadcasts over (b, h)
+        dbias = ds
+    else:
+        # placeholder bias: only the (T, S) mask cotangent is needed, so the
+        # score gradient is accumulated in-kernel across the sequential grid
+        # instead of a (B*H, T, S) f32 HBM round-trip
+        io_specs["out_specs"].append(
+            pl.BlockSpec((t, s), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM))
+        io_specs["out_shape"].append(
+            jax.ShapeDtypeStruct((t, s), jnp.float32))
+        dq, dk, dv, dmask = pl.pallas_call(
+            functools.partial(_train_bwd_kernel_nobias,
+                              dropout_rate=dropout_rate,
+                              dot_dtype=_dots_dtype()),
+            grid=(b * h,), interpret=interpret,
+            **io_specs)(seed, qf, kf, vf, mask, bias, gf)
+        dbias = jnp.zeros_like(bias)
     dseed = np.zeros((), jax.dtypes.float0)
-    dmask = ds.sum(axis=0)                       # mask broadcasts over (b, h)
-    # the (B*H, 1, 1) zero placeholder is caller-constructed (never a
-    # parameter), so its cotangent is zeros; match BOTH dims — a length-1
-    # target (t == 1, s > 1) would otherwise return a (B*H, 1, s) cotangent
-    # for the (B*H, 1, 1) primal, which custom_vjp rejects
-    real_bias = bias.shape[1] == t and bias.shape[2] == s
-    dbias = ds if real_bias else jnp.zeros_like(bias)
     return (dseed, dq.reshape(q.shape), dk.reshape(k.shape),
             dv.reshape(v.shape), dmask, dbias)
 

@@ -84,18 +84,47 @@ def use_pallas() -> bool:
     return jax.default_backend() == "tpu"
 
 
-def nearest_codebook_indices(x: jnp.ndarray, codebooks: jnp.ndarray,
-                             force_pallas: bool | None = None) -> jnp.ndarray:
-    """Nearest-neighbour indices per sub-codebook.
-
-    x: (N, K, d_sub); codebooks: (K, S, d_sub) -> (N, K) int32.
-    Pallas on TPU, XLA elsewhere (force_pallas overrides for testing)."""
-    on = use_pallas() if force_pallas is None else force_pallas
-    if not on:
-        return _xla_indices(x, codebooks)
+def _pallas_indices(x: jnp.ndarray, codebooks: jnp.ndarray) -> jnp.ndarray:
     k = x.shape[1]
     cols = [
         _pallas_indices_one_codebook(x[:, i, :], codebooks[i])
         for i in range(k)
     ]
     return jnp.stack(cols, axis=1)
+
+
+def nearest_codebook_indices(x: jnp.ndarray, codebooks: jnp.ndarray,
+                             force_pallas: bool | None = None) -> jnp.ndarray:
+    """Nearest-neighbour indices per sub-codebook.
+
+    x: (N, K, d_sub); codebooks: (K, S, d_sub) -> (N, K) int32.
+    Pallas on TPU, XLA elsewhere (force_pallas overrides for testing).
+
+    pallas_call has no GSPMD partitioning rule, so on a multi-device mesh the
+    kernel is shard_mapped over the 'data' axis (N = batch x positions is
+    batch-sharded; codebooks replicate). Falls back to the XLA form when N
+    doesn't divide the data axis."""
+    on = use_pallas() if force_pallas is None else force_pallas
+    if not on:
+        return _xla_indices(x, codebooks)
+
+    from vqcpcb_tpu.parallel import mesh as mesh_lib
+
+    mesh = mesh_lib.CURRENT_MESH
+    if mesh is not None and mesh.devices.size > 1:
+        n_data = mesh.shape[mesh_lib.DATA_AXIS]
+        if x.shape[0] % n_data != 0:
+            return _xla_indices(x, codebooks)
+        import functools as _ft
+
+        try:
+            from jax import shard_map as _sm
+            sm = _ft.partial(_sm, check_vma=False)
+        except ImportError:
+            from jax.experimental.shard_map import shard_map as _sm
+            sm = _ft.partial(_sm, check_rep=False)
+        P = mesh_lib.P
+        return sm(_pallas_indices, mesh=mesh,
+                  in_specs=(P(mesh_lib.DATA_AXIS), P()),
+                  out_specs=P(mesh_lib.DATA_AXIS))(x, codebooks)
+    return _pallas_indices(x, codebooks)

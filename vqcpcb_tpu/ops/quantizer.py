@@ -166,14 +166,29 @@ class EMAProductVectorQuantizer(nn.Module):
         self.codebooks = self.variable(
             "ema", "codebooks",
             lambda: jax.random.normal(self.make_rng("params"), shape) * 4.0)
+        # EMA invariant at init: ema_sums == codebooks * cluster_size (van den
+        # Oord et al. appendix; sonnet inits ema_w to the embeddings). With
+        # zeros instead, the first update would wipe the codebook and collapse
+        # every code not hit in that batch to the origin. The data-dependent
+        # codebook init (encoder_trainer) re-establishes the same invariant
+        # after overwriting codebooks.
         self.cluster_size = self.variable(
             "ema", "cluster_size",
-            lambda: jnp.zeros((self.num_codebooks, self.codebook_size)))
+            lambda: jnp.ones((self.num_codebooks, self.codebook_size)))
         self.ema_sums = self.variable(
-            "ema", "ema_sums", lambda: jnp.zeros(shape))
+            "ema", "ema_sums",
+            lambda: jnp.array(self.codebooks.value, copy=True))
 
     def __call__(self, inputs, training: bool = False,
                  corrupt_labels: bool = False):
+        if corrupt_labels:
+            # the reference's 5% label-corruption regularizer is defined for
+            # the commitment quantizer; corrupting EMA assignments would also
+            # corrupt the codebook statistics — fail loudly instead of
+            # silently training a different experiment
+            raise NotImplementedError(
+                "corrupt_labels is not supported by the EMA quantizer; use "
+                "quantizer_type 'commitment'")
         input_shape = inputs.shape
         flat = inputs.reshape(-1, self.codebook_dim)
         n = flat.shape[0]

@@ -5,18 +5,22 @@ Reference semantics: VQCPCB/transformer/subsampled_relative_attention.py
 (learned causal `e1` and anticausal `e2` embeddings combined via a
 pad-and-reshape "skewing" trick plus triangular masks).
 
-TPU-first design: the reference's skew is a row-preserving permutation of the
-source axis, so we compute the bias with a *static gather* instead of
-replaying the pad/reshape choreography:
+TPU-first design: the full-sequence bias is computed by the pad/reshape skew
+(`_skew`) — slices and reshapes only, so BOTH autodiff directions stay
+slice/pad-shaped (a gather formulation's transpose is a serialized TPU
+scatter; measured 7.1 s vs 48 ms per decoder train step, BENCHMARKS.md).
+Mathematically the skew realises the static index maps
 
     bias[b,h,t,s] = valid1[t,s] * <q[b,h,t], e1[h, src-1 - t//r + s]>
                   + valid2[t,s] * <q[b,h,t], e2[h, s - t//r]>
 
-with r = tgt//src, valid1 = (s <= t//r), valid2 = (s > t//r). The index maps
-are trace-time constants, XLA fuses the gather into the einsum epilogue, and
-the same maps drive per-row bias lookups inside the KV-cached sampler. A
-property test (tests/test_relative_attention.py) checks this gather against a
-direct replay of the reference's skewing algorithm.
+with r = tgt//src, valid1 = (s <= t//r), valid2 = (s > t//r)
+(`relative_bias_index_maps` — kept as the test oracle). Inside the KV-cached
+sampler the per-ROW maps are pure shifts of t, so `subsampled_relative_bias_row`
+uses a `dynamic_slice` of the zero-padded row instead of a gather (the 10-17x
+round-2 sampler fix). A property test (tests/test_relative_attention.py)
+checks all of this against a direct replay of the reference's skewing
+algorithm.
 """
 from __future__ import annotations
 
