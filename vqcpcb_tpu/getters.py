@@ -286,7 +286,10 @@ def get_decoder(dataloader_generator,
         total_upscaling * num_channels_encoder)
 
     quantizer_kwargs = encoder_config["quantizer_kwargs"]
-    if encoder_config["quantizer_type"] == "commitment":
+    if encoder_config["quantizer_type"] in ("commitment", "ema"):
+        # both quantizers emit discrete code indices -> re-embedded source
+        # (reference decoder.py:218-229); only NoQuantization passes the
+        # continuous z through a linear
         source_vocab_size = (quantizer_kwargs["codebook_size"]
                              ** quantizer_kwargs["num_codebooks"])
         source_dim = 0

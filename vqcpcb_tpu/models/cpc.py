@@ -156,8 +156,11 @@ class VQCPCModel(nn.Module):
         if getattr(quant, "codebook_size", 0):
             merged_vocab = quant.codebook_size ** quant.num_codebooks
             if merged_vocab <= 65536:
+                # concat on the BLOCK axis: left/right block counts may
+                # differ (axis=0 would require equal counts; the result is
+                # flattened anyway)
                 pos = merge_codes(
-                    jnp.concatenate([idx_left, idx_right], axis=0),
+                    jnp.concatenate([idx_left, idx_right], axis=1),
                     quant.codebook_size).reshape(-1)
                 hist = _histogram(pos, merged_vocab)
                 metrics["num_codewords"] = (hist > 0).sum()

@@ -32,7 +32,11 @@ def top_k_top_p_filtering(logits: jnp.ndarray,
         kth = jax.lax.top_k(logits, k)[0][..., -1:]
         logits = jnp.where(logits < kth, NEG_INF, logits)
 
-    if top_p > 0.0:
+    # top_p >= 1.0 keeps everything (the shift guarantees the boundary token
+    # survives), so skip the per-step sort+softmax+cumsum entirely — callers
+    # mirroring the reference's `top_p=1.` default otherwise pay it as a
+    # semantic no-op inside the sampling scan
+    if 0.0 < top_p < 1.0:
         sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
         cum_probs = jnp.cumsum(jax.nn.softmax(sorted_logits, axis=-1), axis=-1)
         # shift right: first token above threshold is kept

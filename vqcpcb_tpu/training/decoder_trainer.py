@@ -75,10 +75,15 @@ class DecoderTrainer:
         self.dataloader_generator = dataloader_generator
         self.decoder = decoder
         self.encoder = encoder
-        self.encoder_variables = encoder_variables   # frozen
         self.codebook_size = codebook_size
         self.num_codebooks = num_codebooks
         self.mesh = mesh if mesh is not None else mesh_lib.make_mesh()
+        # frozen; placed ON DEVICE once — as host numpy (the orbax restore
+        # output) these megabytes would re-upload through the tunnel on
+        # EVERY jitted step call
+        self.encoder_variables = jax.tree.map(
+            lambda a: jax.device_put(a, mesh_lib.replicated(self.mesh)),
+            encoder_variables)
         self.state: Optional[TrainState] = None
         self.tx = None
         self._rng = jax.random.PRNGKey(seed)
@@ -217,8 +222,8 @@ class DecoderTrainer:
     def train_model(self, batch_size, num_batches, num_epochs, lr,
                     schedule_lr=False, plot=False, num_workers=0, **kwargs):
         writer = MetricsWriter(self.model_dir, plot=plot)
-        best_val = 1e8
         start_epoch = writer.epochs_logged()  # resume continues numbering
+        best_val = writer.best_val("loss")   # resume keeps the early-stop bar
         for epoch_id in range(start_epoch, start_epoch + num_epochs):
             generator_train, generator_val, _ = \
                 self.dataloader_generator.dataloaders(
@@ -358,6 +363,15 @@ class DecoderTrainer:
         num_channels = self.decoder.num_channels_decoder
         num_tokens_indices = self.decoder.data_processor.num_tokens // total_upscaling
         events_per_code = total_upscaling // num_channels
+        if size_encoding < num_tokens_indices:
+            # the sliding-window bookkeeping (compute_start_end_times) needs
+            # at least one full model window; a shorter sequence would wrap
+            # the slices via negative t_begin. Pad with START/END chunks
+            # (generate_alla_mano does) or pass more codes.
+            raise ValueError(
+                f"code sequence of length {size_encoding} is shorter than "
+                f"the model window ({num_tokens_indices} codes); pad the "
+                "sequence to at least one window")
 
         if code_index_start is None:
             code_index_start = 0
@@ -513,16 +527,25 @@ class DecoderTrainer:
 
     # ---- plagiarism check (reference: decoder.py:983-1017) -------------------
 
-    @staticmethod
-    def _dump(x: np.ndarray) -> str:
-        return "_".join(str(int(c)).zfill(2) for c in np.asarray(x).reshape(-1))
+    def _token_width(self) -> int:
+        """Chars per token id in the plagiarism dump: fixed-width so the
+        longest-common-substring arithmetic stays exact for vocabularies
+        >= 100 (the reference's zfill(2), decoder.py:97-104, silently breaks
+        the 3-chars-per-token assumption there)."""
+        vmax = max(self.decoder.data_processor.num_tokens_per_channel)
+        return max(2, len(str(vmax - 1)))
+
+    def _dump(self, x: np.ndarray) -> str:
+        w = self._token_width()
+        return "_".join(str(int(c)).zfill(w)
+                        for c in np.asarray(x).reshape(-1))
 
     def check_duplicate(self, generation: np.ndarray, original: np.ndarray):
         from difflib import SequenceMatcher
         s1, s2 = self._dump(generation), self._dump(original)
         match = SequenceMatcher(None, s1, s2).find_longest_match(
             0, len(s1), 0, len(s2))
-        return (match.size - 1) / 3
+        return (match.size - 1) / (self._token_width() + 1)
 
     def check_duplicate_all_corpus(self, generation: np.ndarray):
         from difflib import SequenceMatcher
@@ -536,5 +559,6 @@ class DecoderTrainer:
                 .find_longest_match(0, len(s1), 0, len(s2))
             if match.size > best_size:
                 best_x, best_size = tensor_dict["x"], match.size
-        print(f"Num tokens plagiarisms: {(best_size - 1) / 3}")
+        print("Num tokens plagiarisms: "
+              f"{(best_size - 1) / (self._token_width() + 1)}")
         return best_x

@@ -237,8 +237,8 @@ class VQCPCEncoderTrainer:
                     initialize: bool = True,
                     **kwargs) -> None:
         writer = MetricsWriter(self.model_dir, plot=plot)
-        best_val = 1e8
         start_epoch = writer.epochs_logged()  # resume continues numbering
+        best_val = writer.best_val("loss_monitor")   # resume keeps the early-stop bar
         for epoch_id in range(start_epoch, start_epoch + num_epochs):
             generator_train, generator_val, _ = \
                 self.dataloader_generator.dataloaders(
@@ -281,8 +281,9 @@ class VQCPCEncoderTrainer:
     def save(self, early_stopped: bool) -> None:
         checkpoints.save_state(self.model_dir, early_stopped, self.state)
 
-    def load(self, early_stopped: bool, lr: float = 1e-4,
-             schedule_lr: bool = False) -> None:
+    def load(self, early_stopped: bool) -> None:
+        # the optimizer comes from init_state; restore replaces its MOMENTS
+        # from the checkpoint (resume is exact — no lr override here)
         if self.state is None:
             raise RuntimeError(
                 "call init_state (or train on one batch) before load, so the "

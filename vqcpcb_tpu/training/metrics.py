@@ -39,6 +39,24 @@ class MetricsWriter:
                     continue
         return last + 1
 
+    def best_val(self, key: str) -> float:
+        """Minimum of f'{key}/val' over epochs already logged — restores the
+        early-stopping bar on crash-resume so a worse post-resume epoch can't
+        silently overwrite the early_stopped checkpoint."""
+        best = 1e8
+        if not os.path.exists(self.jsonl_path):
+            return best
+        full_key = f"{key}/val"
+        with open(self.jsonl_path) as f:
+            for line in f:
+                try:
+                    v = json.loads(line).get(full_key)
+                except (ValueError, json.JSONDecodeError):
+                    continue
+                if v is not None:
+                    best = min(best, float(v))
+        return best
+
     def write(self, epoch_id: int, train: Optional[Dict], val: Optional[Dict]):
         record = {"epoch": epoch_id, "time": time.time()}
         for split, quantities in (("train", train), ("val", val)):

@@ -47,9 +47,14 @@ class PriorTrainer:
         self.dataloader_generator = dataloader_generator
         self.prior = prior
         self.encoder = encoder
-        self.encoder_variables = encoder_variables
+        # frozen; device-resident (see decoder_trainer — avoids a per-step
+        # host->device upload of the whole encoder)
+        self.encoder_variables = None  # set after mesh below
         self.codebook_size = codebook_size
         self.mesh = mesh if mesh is not None else mesh_lib.make_mesh()
+        self.encoder_variables = jax.tree.map(
+            lambda a: jax.device_put(a, mesh_lib.replicated(self.mesh)),
+            encoder_variables)
         self._rng = jax.random.PRNGKey(seed)
         self.state: Optional[TrainState] = None
         self.tx = None
@@ -153,8 +158,8 @@ class PriorTrainer:
     def train_model(self, batch_size, num_batches=None, num_epochs=10,
                     lr=1e-3, plot=False, num_workers=0, **kwargs):
         writer = MetricsWriter(self.model_dir, plot=plot)
-        best_val = 1e8
         start_epoch = writer.epochs_logged()  # resume continues numbering
+        best_val = writer.best_val("loss")   # resume keeps the early-stop bar
         for epoch_id in range(start_epoch, start_epoch + num_epochs):
             generator_train, generator_val, _ = \
                 self.dataloader_generator.dataloaders(

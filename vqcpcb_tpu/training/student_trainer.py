@@ -108,14 +108,33 @@ class StudentEncoderTrainer:
 
         enc_params = enc_vars["params"]
         quantizer = self.encoder.quantizer
-        if initialize and isinstance(quantizer, ProductVectorQuantizer):
+        from vqcpcb_tpu.ops.quantizer import EMAProductVectorQuantizer
+        if initialize and isinstance(
+                quantizer, (ProductVectorQuantizer,
+                            EMAProductVectorQuantizer)):
             z_pre = self.encoder.apply(
                 enc_vars, x, method=lambda m, inp: m.downscale(inp))
             flat = z_pre.reshape(-1, quantizer.codebook_dim)
-            if flat.shape[0] >= quantizer.codebook_size:
-                cb = initialize_codebooks(
-                    cb_rng, flat, quantizer.num_codebooks,
-                    quantizer.codebook_size)
+            assert flat.shape[0] >= quantizer.codebook_size, (
+                "data-dependent codebook init needs a first batch with at "
+                f"least codebook_size rows ({flat.shape[0]} < "
+                f"{quantizer.codebook_size}) — same requirement as the "
+                "reference (vector_quantizer.py:60)")
+            cb = initialize_codebooks(
+                cb_rng, flat, quantizer.num_codebooks,
+                quantizer.codebook_size)
+            if isinstance(quantizer, EMAProductVectorQuantizer):
+                # re-establish the EMA invariant after overwriting codebooks
+                # (encoder_trainer does the same)
+                ema = dict(enc_vars.get("ema", {}))
+                quant = dict(ema.get("quantizer", {}))
+                quant["codebooks"] = cb
+                quant["ema_sums"] = jnp.array(cb, copy=True)
+                quant["cluster_size"] = jnp.ones_like(quant["cluster_size"])
+                ema["quantizer"] = quant
+                enc_vars = dict(enc_vars)
+                enc_vars["ema"] = ema
+            else:
                 enc_params = dict(enc_params)
                 qp = dict(enc_params["quantizer"])
                 qp["codebooks"] = cb
@@ -295,8 +314,8 @@ class StudentEncoderTrainer:
                     corrupt_labels=False, schedule_lr=False, plot=False,
                     num_workers=0, initialize=True, **kwargs):
         writer = MetricsWriter(self.model_dir, plot=plot)
-        best_val = 1e8
         start_epoch = writer.epochs_logged()  # resume continues numbering
+        best_val = writer.best_val("loss_monitor")   # resume keeps the early-stop bar
         for epoch_id in range(start_epoch, start_epoch + num_epochs):
             generator_train, generator_val, _ = \
                 self.dataloader_generator.dataloaders(
