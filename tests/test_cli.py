@@ -75,6 +75,38 @@ def test_main_encoder_train_and_load(workdir):
     assert epochs[-1] == len(lines) - 1
 
 
+def test_ema_encoder_feeds_decoder(workdir):
+    """An EMA-quantized encoder must drive the decoder pipeline end-to-end:
+    both quantizers emit discrete indices, so get_decoder builds the same
+    re-embedded code source (regression: EMA used to be wired like
+    NoQuantization and crashed at decoder init)."""
+    cfg = (workdir / "configs" / "encoder_smoke.py").read_text()
+    cfg = cfg.replace("'quantizer_type': 'commitment'",
+                      "'quantizer_type': 'ema'")
+    (workdir / "configs" / "encoder_ema.py").write_text(cfg)
+
+    from main_encoder import main as encoder_main
+    from main_decoder import main as decoder_main
+    runner = CliRunner()
+    result = runner.invoke(
+        encoder_main,
+        ["-t", "-c", "configs/encoder_ema.py", "--num_epochs", "1"],
+        catch_exceptions=False)
+    assert result.exit_code == 0, result.output
+    enc_dir = workdir / "models" / os.listdir(workdir / "models")[0]
+
+    dec_cfg = (workdir / "configs" / "decoder_smoke.py").read_text()
+    dec_cfg = dec_cfg.replace(
+        repr(str(workdir / "configs" / "encoder_smoke.py")),
+        repr(str(enc_dir / "config.py")))
+    (workdir / "configs" / "decoder_ema.py").write_text(dec_cfg)
+    result = runner.invoke(
+        decoder_main,
+        ["-t", "-c", "configs/decoder_ema.py", "--num_epochs", "1"],
+        catch_exceptions=False)
+    assert result.exit_code == 0, result.output
+
+
 def test_main_encoder_student_training(workdir):
     from main_encoder import main as encoder_main
     runner = CliRunner()
