@@ -49,7 +49,8 @@ def main(train, load, config_path, num_workers, num_epochs, num_batches):
     else:
         model_dir = f"models/{config['savename']}_{timestamp}"
 
-    # NoQuantization configs may omit the quantizer_kwargs block entirely
+    # reference-surface provenance flag (main_encoder.py:51); codebook init
+    # itself is the trainers' host-driven init_state step
     config.setdefault("quantizer_kwargs", {})["initialize"] = not load
     if num_epochs is not None:
         config["num_epochs"] = num_epochs
@@ -143,12 +144,9 @@ def main(train, load, config_path, num_workers, num_epochs, num_batches):
         config=config)
 
     quantizer_kwargs = config["quantizer_kwargs"]
-    if config["quantizer_type"] != "commitment":
-        return
-    if training_method == "vqcpc":
-        enc_params = jax.device_get(trainer.state.params)["encoder"]
-    else:
-        enc_params = jax.device_get(trainer.state.params)["encoder"]
+    if config["quantizer_type"] not in ("commitment", "ema"):
+        return  # NoQuantization has no discrete codes to cluster
+    enc_params = jax.device_get(trainer.state.params)["encoder"]
     enc_variables = {"params": enc_params}
     for coll, tree in jax.device_get(trainer.state.batch_stats or {}).items():
         if "encoder" in tree:
@@ -166,10 +164,13 @@ def main(train, load, config_path, num_workers, num_epochs, num_batches):
         analysis.plot_clusters(
             jax.jit(encode_fn), dataloader_generator_clusters, split,
             model_dir, num_events_for_one_index, num_batches=64)
-    analysis.show_nn_clusters(enc_params["quantizer"]["codebooks"])
+    # the EMA codebook lives in the 'ema' collection, not in params
+    codebooks = (enc_variables["ema"]["quantizer"]["codebooks"]
+                 if config["quantizer_type"] == "ema"
+                 else enc_params["quantizer"]["codebooks"])
+    analysis.show_nn_clusters(codebooks)
     if quantizer_kwargs["codebook_dim"] == 3:
-        analysis.scatterplot_clusters_3d(
-            enc_params["quantizer"]["codebooks"], model_dir)
+        analysis.scatterplot_clusters_3d(codebooks, model_dir)
 
 
 if __name__ == "__main__":

@@ -96,6 +96,17 @@ def main(train, load, config_path, do_generate, num_workers, num_epochs):
                 "-g requires 'config_decoder' in the prior config to point "
                 "at a trained decoder's config.py")
         decoder_config = load_config_module(config_decoder_path)
+        # the decoder checkpoint was trained against ITS config_encoder; the
+        # prior's codes come from the prior's own encoder stack — if those
+        # differ, generation would decode garbage without erroring
+        prior_enc = os.path.basename(str(config.get("config_encoder", "")))
+        dec_enc = os.path.basename(str(
+            decoder_config.get("config_encoder", "")))
+        if prior_enc != dec_enc:
+            print("WARNING: the prior's config_encoder "
+                  f"({prior_enc!r}) differs from the decoder's "
+                  f"({dec_enc!r}) — the decoder will consume codes from an "
+                  "encoder it was not trained with")
         # the decoder has its OWN sequence geometry (e.g. 24-beat windows);
         # rebuild its dataloader/data-processor from its config rather than
         # reusing the prior's

@@ -70,16 +70,17 @@ class BachDataloaderGenerator(DataloaderGenerator):
     def write(self, x: np.ndarray, path_no_extension: str) -> str:
         """Write a token grid as MusicXML when music21 is available, else as a
         JSON note list next to it."""
-        events = self.to_neutral(x)
         try:
             score = self.to_score(x)
             out = f"{path_no_extension}.xml"
             score.write("xml", out)
             return out
         except ImportError:
+            # to_neutral only on the fallback path (to_score runs it
+            # internally on the success path)
             out = f"{path_no_extension}.json"
             with open(out, "w") as f:
-                json.dump(events, f)
+                json.dump(self.to_neutral(x), f)
             return out
 
     def to_score(self, x: np.ndarray):
@@ -202,9 +203,17 @@ class BachCPCDataloaderGenerator(DataloaderGenerator):
             neg_rng = rng if rng is not None else np.random.RandomState(
                 0x5EED + len(neg))
             # small corpora may hold fewer windows than one negative batch:
-            # tile so every epoch yields at least one batch
+            # tile so every epoch yields at least one batch. An EMPTY pool
+            # would make neg_stream() below spin forever without yielding —
+            # fail loudly instead (can happen for a tiny corpus whose val
+            # split rounds to zero negative windows).
             neg_pool = neg
-            if 0 < len(neg_pool) < neg_bs:
+            if len(neg_pool) == 0:
+                raise ValueError(
+                    "negative-sample split is empty — the corpus is too "
+                    "small for a 0.85/0.10/0.05 split at this window size; "
+                    "use a larger corpus or longer chorales")
+            if len(neg_pool) < neg_bs:
                 reps = -(-neg_bs // len(neg_pool))
                 neg_pool = np.tile(neg_pool, (reps, 1, 1))
 

@@ -76,10 +76,19 @@ class ChoraleBeatsDataset:
 
     @property
     def tensor_path(self) -> str:
+        # the vocabulary fingerprint is part of the key: token ids depend on
+        # the index dicts, so a dataset built with an injected vocabulary
+        # (e.g. Vocabulary.from_reference_pickle for parity runs) must not
+        # reuse windows tokenized under the default sorted vocab
+        import hashlib
+        import json as _json
+        vocab_fp = hashlib.sha1(_json.dumps(
+            self.vocabulary.note2index_dicts, sort_keys=True,
+            default=str).encode()).hexdigest()[:10]
         return os.path.join(
             self.cache_root,
             f"{self.corpus.cache_key}_seq{self.sequences_size}"
-            f"_sub{self.subdivision}.npz")
+            f"_sub{self.subdivision}_v{vocab_fp}.npz")
 
     @property
     def windows(self) -> np.ndarray:

@@ -60,7 +60,10 @@ def get_dataloader_generator(dataset: str,
                              config: Optional[Dict] = None,
                              cache_root: Optional[str] = None):
     """(reference: getters.py:24-46)"""
-    config = config or {"dataset": dataset}
+    # the explicit `dataset` parameter wins over a config dict missing the
+    # key (otherwise _corpus_from_config would silently default to 'bach')
+    config = dict(config) if config else {}
+    config.setdefault("dataset", dataset)
     corpus = _corpus_from_config(config)
     if training_method.lower() == "vqcpc":
         return BachCPCDataloaderGenerator(
@@ -141,7 +144,11 @@ def get_upscaler(upscaler_type: Optional[str], upscaler_kwargs: Dict):
     raise NotImplementedError(upscaler_type)
 
 
-def get_quantizer(config: Dict, initialize: bool = True):
+def get_quantizer(config: Dict):
+    # NOTE: codebook initialization is data-dependent and happens in the
+    # trainers' init_state (host-driven, SURVEY.md §7 guiding decision 1);
+    # the reference-surface `quantizer_kwargs['initialize']` flag written by
+    # the CLIs is provenance only.
     quantizer_kwargs = config["quantizer_kwargs"]
     if config["quantizer_type"] == "commitment":
         return ProductVectorQuantizer(

@@ -77,7 +77,12 @@ class DecoderTrainer:
         self.encoder = encoder
         self.codebook_size = codebook_size
         self.num_codebooks = num_codebooks
-        self.mesh = mesh if mesh is not None else mesh_lib.make_mesh()
+        self.mesh = mesh if mesh is not None else (
+            # reuse a live mesh rather than constructing a fresh DP
+            # one: make_mesh() would reset the CURRENT_MESH/TP state
+            # another trainer's sharded params may still rely on
+            mesh_lib.CURRENT_MESH if mesh_lib.CURRENT_MESH is not None
+            else mesh_lib.make_mesh())
         # frozen; placed ON DEVICE once — as host numpy (the orbax restore
         # output) these megabytes would re-upload through the tunnel on
         # EVERY jitted step call

@@ -49,7 +49,12 @@ class VQCPCEncoderTrainer:
         self.model_dir = model_dir
         self.dataloader_generator = dataloader_generator
         self.model = model
-        self.mesh = mesh if mesh is not None else mesh_lib.make_mesh()
+        self.mesh = mesh if mesh is not None else (
+            # reuse a live mesh rather than constructing a fresh DP
+            # one: make_mesh() would reset the CURRENT_MESH/TP state
+            # another trainer's sharded params may still rely on
+            mesh_lib.CURRENT_MESH if mesh_lib.CURRENT_MESH is not None
+            else mesh_lib.make_mesh())
         self.seed = seed
         self.state: Optional[TrainState] = None
         self.tx = None

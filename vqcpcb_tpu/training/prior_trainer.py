@@ -51,7 +51,12 @@ class PriorTrainer:
         # host->device upload of the whole encoder)
         self.encoder_variables = None  # set after mesh below
         self.codebook_size = codebook_size
-        self.mesh = mesh if mesh is not None else mesh_lib.make_mesh()
+        self.mesh = mesh if mesh is not None else (
+            # reuse a live mesh rather than constructing a fresh DP
+            # one: make_mesh() would reset the CURRENT_MESH/TP state
+            # another trainer's sharded params may still rely on
+            mesh_lib.CURRENT_MESH if mesh_lib.CURRENT_MESH is not None
+            else mesh_lib.make_mesh())
         self.encoder_variables = jax.tree.map(
             lambda a: jax.device_put(a, mesh_lib.replicated(self.mesh)),
             encoder_variables)

@@ -75,7 +75,12 @@ class StudentEncoderTrainer:
         self.auxiliary_decoder = auxiliary_decoder
         self.num_events_masked = num_events_masked
         self.quantization_weighting = quantization_weighting
-        self.mesh = mesh if mesh is not None else mesh_lib.make_mesh()
+        self.mesh = mesh if mesh is not None else (
+            # reuse a live mesh rather than constructing a fresh DP
+            # one: make_mesh() would reset the CURRENT_MESH/TP state
+            # another trainer's sharded params may still rely on
+            mesh_lib.CURRENT_MESH if mesh_lib.CURRENT_MESH is not None
+            else mesh_lib.make_mesh())
         self.seed = seed
         self._rng = jax.random.PRNGKey(seed)
         self.state: Optional[TrainState] = None
