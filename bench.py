@@ -105,9 +105,11 @@ def main():
             corrupt_labels=False)
         return metrics
 
+    m = None
     for i in range(warmup):
         m = step(i)
-    float(jax.device_get(m["loss"]))
+    if m is not None:
+        float(jax.device_get(m["loss"]))
     # timing is anchored by a value transfer: on this remote platform
     # block_until_ready can return before execution completes (verified by a
     # chain-length slope experiment); device_get is the only true sync. One

@@ -284,10 +284,16 @@ class BachCPCDataloaderGenerator(DataloaderGenerator):
         tb = self.num_tokens_per_block // NUM_VOICES
         b = x_left.shape[0]
 
+        # BOTH block counts derive from the actual array shapes: the back
+        # direction calls this with (x_right, x_left) swapped, so trusting
+        # self.num_blocks_right for the second argument reads out of bounds
+        # in the C++ kernel whenever num_blocks_left != num_blocks_right
+        nb_first = x_left.shape[1] // tb
+        nb_second = x_right.shape[1] // tb
+
         from vqcpcb_tpu import native
         out = native.build_negatives_same_seq_native(
-            x_left, x_right,
-            x_left.shape[1] // tb, self.num_blocks_right, tb)
+            x_left, x_right, nb_first, nb_second, tb)
         if out is not None:
             return out
 
@@ -299,7 +305,7 @@ class BachCPCDataloaderGenerator(DataloaderGenerator):
         left_b = blocks(x_left)
         right_b = blocks(x_right)
         outs = []
-        for k in range(self.num_blocks_right):
+        for k in range(nb_second):
             neg_k = np.concatenate(
                 [left_b, right_b[:, :k], right_b[:, k + 1:]], axis=1)
             outs.append(neg_k[:, :, None])

@@ -94,6 +94,13 @@ def build_negatives_same_seq_native(x_left: np.ndarray, x_right: np.ndarray,
     x_left = np.ascontiguousarray(x_left, dtype=np.int32)
     x_right = np.ascontiguousarray(x_right, dtype=np.int32)
     batch, _, voices = x_left.shape
+    # the C++ kernel indexes raw pointers — validate the claimed geometry
+    # against the actual array shapes before handing them over (a mismatch
+    # would be a silent out-of-bounds read)
+    assert x_left.shape[1] == blocks_left * ticks_block, (
+        x_left.shape, blocks_left, ticks_block)
+    assert x_right.shape[1] == blocks_right * ticks_block, (
+        x_right.shape, blocks_right, ticks_block)
     num_neg = blocks_left + blocks_right - 1
     out = np.empty((batch, num_neg, blocks_right, ticks_block, voices),
                    dtype=np.int32)

@@ -93,7 +93,8 @@ def plot_attention(attentions: np.ndarray, out_path: str,
         plt.title(f"Head {head_index}")
         sns.heatmap(att[head_index], vmin=0, vmax=1, cmap="YlGnBu")
         plt.grid(True)
-    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    if os.path.dirname(out_path):
+        os.makedirs(os.path.dirname(out_path), exist_ok=True)
     plt.savefig(out_path)
     plt.close()
     return out_path
@@ -106,6 +107,11 @@ def scatterplot_clusters_3d(codebooks: np.ndarray, model_dir: str) -> str:
     import matplotlib.pyplot as plt
 
     clusters = np.asarray(codebooks)[0]
+    if clusters.shape[1] < 3:
+        # 1-/2-d codebooks: zero-pad the missing axes so the scatter still
+        # renders (docstring: codebook_dim < 4)
+        pad = np.zeros((clusters.shape[0], 3 - clusters.shape[1]))
+        clusters = np.concatenate([clusters, pad], axis=1)
     fig = plt.figure()
     ax = fig.add_subplot(111, projection="3d")
     for i, (x, y, z) in enumerate(clusters[:, :3]):

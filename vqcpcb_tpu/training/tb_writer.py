@@ -44,6 +44,10 @@ def masked_crc(data: bytes) -> int:
 # ---- minimal protobuf encoding ------------------------------------------------
 
 def _varint(n: int) -> bytes:
+    if n < 0:
+        # proto varints encode negative int64 as 10-byte two's complement;
+        # Python's arithmetic right shift would otherwise never terminate
+        n += 1 << 64
     out = bytearray()
     while True:
         byte = n & 0x7F
@@ -123,12 +127,18 @@ def read_scalars(path: str):
         data = f.read()
     pos = 0
     while pos < len(data):
+        if pos + 12 > len(data):
+            raise ValueError(f"truncated record header at byte {pos}")
         (length,) = struct.unpack_from("<Q", data, pos)
         (hcrc,) = struct.unpack_from("<I", data, pos + 8)
-        assert hcrc == masked_crc(data[pos:pos + 8]), "header crc mismatch"
+        if hcrc != masked_crc(data[pos:pos + 8]):
+            raise ValueError(f"header crc mismatch at byte {pos}")
+        if pos + 12 + length + 4 > len(data):
+            raise ValueError(f"truncated record payload at byte {pos}")
         payload = data[pos + 12:pos + 12 + length]
         (pcrc,) = struct.unpack_from("<I", data, pos + 12 + length)
-        assert pcrc == masked_crc(payload), "payload crc mismatch"
+        if pcrc != masked_crc(payload):
+            raise ValueError(f"payload crc mismatch at byte {pos}")
         pos += 12 + length + 4
         out.extend(_decode_event_scalars(payload))
     return out

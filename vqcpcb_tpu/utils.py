@@ -48,10 +48,14 @@ def kv_cache_dtype():
     import jax
 
     env = os.environ.get("VQCPCB_KV_DTYPE")
-    if env == "bfloat16":
+    if env in ("bfloat16", "bf16"):
         return jnp.bfloat16
-    if env in ("float32", "f32"):
+    if env in ("float32", "f32", "fp32"):
         return None
+    if env:  # typo'd overrides must not silently fall to the default
+        raise ValueError(
+            f"VQCPCB_KV_DTYPE={env!r}: use 'bfloat16'/'bf16' or "
+            "'float32'/'f32'")
     return jnp.bfloat16 if jax.default_backend() == "tpu" else None
 
 
@@ -59,7 +63,8 @@ def dict_pretty_print(d: Dict[str, Any], endstr: str = "\n") -> None:
     """Console pretty printer (reference: VQCPCB/utils.py:16-21)."""
     for key, value in d.items():
         if isinstance(value, (list, tuple)):
-            print(f"{key.capitalize()}: [%s]" % ", ".join(map(str, value)))
+            print(f"{key.capitalize()}: [{', '.join(map(str, value))}]",
+                  end=endstr)
         else:
             try:
                 print(f"{key.capitalize()}: {float(value):.6}", end=endstr)
