@@ -17,3 +17,17 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _reset_mesh_globals():
+    """make_mesh records the latest mesh in module globals (CURRENT_MESH /
+    TP_ACTIVE) so pallas kernels can shard_map themselves; tests that build
+    TP meshes must not leak that routing into unrelated tests."""
+    from vqcpcb_tpu.parallel import mesh as mesh_lib
+    saved = (mesh_lib.CURRENT_MESH, mesh_lib.TP_ACTIVE)
+    mesh_lib.CURRENT_MESH, mesh_lib.TP_ACTIVE = None, False
+    yield
+    mesh_lib.CURRENT_MESH, mesh_lib.TP_ACTIVE = saved
