@@ -40,6 +40,7 @@ from vqcpcb_tpu.models.decoder import Decoder
 from vqcpcb_tpu.models.encoder import Encoder, merge_codes
 from vqcpcb_tpu.parallel import mesh as mesh_lib
 from vqcpcb_tpu.training import checkpoints
+from vqcpcb_tpu.training.loop import TrainLoopMixin
 from vqcpcb_tpu.training.metrics import MetricsWriter
 from vqcpcb_tpu.training.optim import make_optimizer
 from vqcpcb_tpu.training.profiling import maybe_profile
@@ -60,7 +61,7 @@ def compute_start_end_times(t: int, num_blocks: int, num_blocks_model: int):
     return t_begin, t_end, t_relative
 
 
-class DecoderTrainer:
+class DecoderTrainer(TrainLoopMixin):
     def __init__(self,
                  model_dir: str,
                  dataloader_generator,
@@ -224,42 +225,7 @@ class DecoderTrainer:
         means["tokens_per_sec"] = tokens / max(time.perf_counter() - t0, 1e-9)
         return means
 
-    def train_model(self, batch_size, num_batches, num_epochs, lr,
-                    schedule_lr=False, plot=False, num_workers=0, **kwargs):
-        writer = MetricsWriter(self.model_dir, plot=plot)
-        start_epoch = writer.epochs_logged()  # resume continues numbering
-        best_val = writer.best_val("loss")   # resume keeps the early-stop bar
-        for epoch_id in range(start_epoch, start_epoch + num_epochs):
-            generator_train, generator_val, _ = \
-                self.dataloader_generator.dataloaders(
-                    batch_size=batch_size, num_workers=num_workers)
-            if self.state is None:
-                generator_train = iter(generator_train)
-                first = next(generator_train)
-                self.init_state(first["x"], lr=lr, schedule_lr=schedule_lr)
-                import itertools
-                generator_train = itertools.chain([first], generator_train)
-
-            with maybe_profile(f"epoch_{epoch_id}_train"):
-                monitored_train = self.epoch(generator_train, True, num_batches)
-            monitored_val = self.epoch(
-                generator_val, False,
-                num_batches // 2 if num_batches is not None else None)
-
-            print(f"======= Epoch {epoch_id} =======")
-            print("---Train---")
-            dict_pretty_print(monitored_train, endstr=" " * 5)
-            print()
-            print("---Val---")
-            dict_pretty_print(monitored_val, endstr=" " * 5)
-            print("\n")
-
-            self.save(early_stopped=False)
-            valid_loss = monitored_val.get("loss", 1e8)
-            if valid_loss < best_val:
-                self.save(early_stopped=True)
-                best_val = valid_loss
-            writer.write(epoch_id, monitored_train, monitored_val)
+    # train_model: shared TrainLoopMixin (training/loop.py); monitor 'loss'
 
     # ---- generation ----------------------------------------------------------
 

@@ -32,6 +32,7 @@ from vqcpcb_tpu.ops.quantizer import (
 )
 from vqcpcb_tpu.parallel import mesh as mesh_lib
 from vqcpcb_tpu.training import checkpoints
+from vqcpcb_tpu.training.loop import TrainLoopMixin
 from vqcpcb_tpu.training.metrics import MetricsWriter
 from vqcpcb_tpu.training.optim import make_optimizer
 from vqcpcb_tpu.training.profiling import maybe_profile
@@ -39,7 +40,7 @@ from vqcpcb_tpu.training.train_state import TrainState
 from vqcpcb_tpu.utils import dict_pretty_print
 
 
-class VQCPCEncoderTrainer:
+class VQCPCEncoderTrainer(TrainLoopMixin):
     def __init__(self,
                  model_dir: str,
                  dataloader_generator,
@@ -230,56 +231,16 @@ class VQCPCEncoderTrainer:
 
     # ---- train loop (reference: encoder.py:244-302) --------------------------
 
-    def train_model(self,
-                    batch_size: int,
-                    num_batches: Optional[int],
-                    num_epochs: int,
-                    lr: float,
-                    corrupt_labels: bool = False,
-                    schedule_lr: bool = False,
-                    plot: bool = False,
-                    num_workers: int = 0,
-                    initialize: bool = True,
-                    **kwargs) -> None:
-        writer = MetricsWriter(self.model_dir, plot=plot)
-        start_epoch = writer.epochs_logged()  # resume continues numbering
-        best_val = writer.best_val("loss_monitor")   # resume keeps the early-stop bar
-        for epoch_id in range(start_epoch, start_epoch + num_epochs):
-            generator_train, generator_val, _ = \
-                self.dataloader_generator.dataloaders(
-                    batch_size=batch_size, num_workers=num_workers)
-            if self.state is None:
-                generator_train = iter(generator_train)
-                first = next(generator_train)
-                self.init_state(first, lr=lr, schedule_lr=schedule_lr,
-                                initialize=initialize)
-                # train on the init batch too
-                import itertools
-                generator_train = itertools.chain([first], generator_train)
+    # ---- train loop: shared TrainLoopMixin (training/loop.py) -----------------
 
-            with maybe_profile(f"epoch_{epoch_id}_train"):
-                monitored_train = self.epoch(
-                    generator_train, train=True, num_batches=num_batches,
-                    corrupt_labels=corrupt_labels)
-            monitored_val = self.epoch(
-                generator_val, train=False,
-                num_batches=num_batches // 2 if num_batches is not None else None,
-                corrupt_labels=corrupt_labels)
+    monitor_key = "loss_monitor"
 
-            print(f"======= Epoch {epoch_id} =======")
-            print("---Train---")
-            dict_pretty_print(monitored_train, endstr=" " * 5)
-            print()
-            print("---Val---")
-            dict_pretty_print(monitored_val, endstr=" " * 5)
-            print("\n")
+    def _init_from_first(self, first, lr, schedule_lr, initialize):
+        self.init_state(first, lr=lr, schedule_lr=schedule_lr,
+                        initialize=initialize)
 
-            self.save(early_stopped=False)
-            valid_loss = monitored_val.get("loss_monitor", 1e8)
-            if valid_loss < best_val:
-                self.save(early_stopped=True)
-                best_val = valid_loss
-            writer.write(epoch_id, monitored_train, monitored_val)
+    def _epoch_kwargs(self, corrupt_labels):
+        return {"corrupt_labels": corrupt_labels}
 
     # ---- persistence ---------------------------------------------------------
 

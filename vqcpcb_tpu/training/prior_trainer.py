@@ -26,6 +26,7 @@ from vqcpcb_tpu.models.encoder import Encoder, merge_codes
 from vqcpcb_tpu.models.prior import PriorRelative
 from vqcpcb_tpu.parallel import mesh as mesh_lib
 from vqcpcb_tpu.training import checkpoints
+from vqcpcb_tpu.training.loop import TrainLoopMixin
 from vqcpcb_tpu.training.metrics import MetricsWriter
 from vqcpcb_tpu.training.optim import make_optimizer
 from vqcpcb_tpu.training.profiling import maybe_profile
@@ -33,7 +34,7 @@ from vqcpcb_tpu.training.train_state import TrainState
 from vqcpcb_tpu.utils import dict_pretty_print
 
 
-class PriorTrainer:
+class PriorTrainer(TrainLoopMixin):
     def __init__(self,
                  model_dir: str,
                  dataloader_generator,
@@ -140,8 +141,12 @@ class PriorTrainer:
 
     def epoch(self, data_loader: Iterator, train: bool,
               num_batches: Optional[int]) -> Dict:
+        import time
+
         from vqcpcb_tpu.training.accumulate import MetricAccumulator
         acc_metrics = MetricAccumulator()
+        tokens = 0
+        t0 = time.perf_counter()
         from vqcpcb_tpu.data.prefetch import prefetch
         # shard/transfer inside the prefetch thread so host->device
         # copies overlap device compute
@@ -157,42 +162,17 @@ class PriorTrainer:
                 metrics = self._eval_step(self.state.params,
                                           self.encoder_variables, x)
             acc_metrics.add(metrics)
+            tokens += int(np.prod(batch_np["x"].shape))
         means = acc_metrics.means()
-        return means if means is not None else {}
+        if means is None:
+            return {}
+        means["tokens_per_sec"] = tokens / max(time.perf_counter() - t0, 1e-9)
+        return means
 
-    def train_model(self, batch_size, num_batches=None, num_epochs=10,
-                    lr=1e-3, plot=False, num_workers=0, **kwargs):
-        writer = MetricsWriter(self.model_dir, plot=plot)
-        start_epoch = writer.epochs_logged()  # resume continues numbering
-        best_val = writer.best_val("loss")   # resume keeps the early-stop bar
-        for epoch_id in range(start_epoch, start_epoch + num_epochs):
-            generator_train, generator_val, _ = \
-                self.dataloader_generator.dataloaders(
-                    batch_size=batch_size, num_workers=num_workers)
-            if self.state is None:
-                generator_train = iter(generator_train)
-                first = next(generator_train)
-                self.init_state(first["x"], lr=lr)
-                import itertools
-                generator_train = itertools.chain([first], generator_train)
-            with maybe_profile(f"epoch_{epoch_id}_train"):
-                monitored_train = self.epoch(generator_train, True, num_batches)
-            monitored_val = self.epoch(
-                generator_val, False,
-                num_batches // 2 if num_batches is not None else None)
-            print(f"======= Epoch {epoch_id} =======")
-            print("---Train---")
-            dict_pretty_print(monitored_train, endstr=" " * 5)
-            print()
-            print("---Val---")
-            dict_pretty_print(monitored_val, endstr=" " * 5)
-            print("\n")
-            self.save(early_stopped=False)
-            valid_loss = monitored_val.get("loss", 1e8)
-            if valid_loss < best_val:
-                self.save(early_stopped=True)
-                best_val = valid_loss
-            writer.write(epoch_id, monitored_train, monitored_val)
+    # ---- train loop: shared TrainLoopMixin (training/loop.py) -----------------
+
+    def _init_from_first(self, first, lr, schedule_lr, initialize):
+        self.init_state(first["x"], lr=lr)
 
     def save(self, early_stopped: bool = True) -> None:
         checkpoints.save_state(self.model_dir, early_stopped, self.state)

@@ -30,6 +30,7 @@ from vqcpcb_tpu.ops.losses import (
 from vqcpcb_tpu.ops.quantizer import ProductVectorQuantizer, initialize_codebooks
 from vqcpcb_tpu.parallel import mesh as mesh_lib
 from vqcpcb_tpu.training import checkpoints
+from vqcpcb_tpu.training.loop import TrainLoopMixin
 from vqcpcb_tpu.training.metrics import MetricsWriter
 from vqcpcb_tpu.training.optim import make_optimizer
 from vqcpcb_tpu.training.profiling import maybe_profile
@@ -57,7 +58,7 @@ def mask_batch(x: jnp.ndarray,
     return masked_x, notes_to_be_predicted
 
 
-class StudentEncoderTrainer:
+class StudentEncoderTrainer(TrainLoopMixin):
     def __init__(self,
                  model_dir: str,
                  dataloader_generator,
@@ -315,44 +316,13 @@ class StudentEncoderTrainer:
         means["tokens_per_sec"] = tokens / max(time.perf_counter() - t0, 1e-9)
         return means
 
-    def train_model(self, batch_size, num_batches, num_epochs, lr,
-                    corrupt_labels=False, schedule_lr=False, plot=False,
-                    num_workers=0, initialize=True, **kwargs):
-        writer = MetricsWriter(self.model_dir, plot=plot)
-        start_epoch = writer.epochs_logged()  # resume continues numbering
-        best_val = writer.best_val("loss_monitor")   # resume keeps the early-stop bar
-        for epoch_id in range(start_epoch, start_epoch + num_epochs):
-            generator_train, generator_val, _ = \
-                self.dataloader_generator.dataloaders(
-                    batch_size=batch_size, num_workers=num_workers)
-            if self.state is None:
-                generator_train = iter(generator_train)
-                first = next(generator_train)
-                self.init_state(first["x"], lr=lr, schedule_lr=schedule_lr,
-                                initialize=initialize)
-                import itertools
-                generator_train = itertools.chain([first], generator_train)
+    # ---- train loop: shared TrainLoopMixin (training/loop.py) -----------------
 
-            with maybe_profile(f"epoch_{epoch_id}_train"):
-                monitored_train = self.epoch(generator_train, True, num_batches)
-            monitored_val = self.epoch(
-                generator_val, False,
-                num_batches // 2 if num_batches is not None else None)
+    monitor_key = "loss_monitor"
 
-            print(f"======= Epoch {epoch_id} =======")
-            print("---Train---")
-            dict_pretty_print(monitored_train, endstr=" " * 5)
-            print()
-            print("---Val---")
-            dict_pretty_print(monitored_val, endstr=" " * 5)
-            print("\n")
-
-            self.save(early_stopped=False)
-            valid_loss = monitored_val.get("loss_monitor", 1e8)
-            if valid_loss < best_val:
-                self.save(early_stopped=True)
-                best_val = valid_loss
-            writer.write(epoch_id, monitored_train, monitored_val)
+    def _init_from_first(self, first, lr, schedule_lr, initialize):
+        self.init_state(first["x"], lr=lr, schedule_lr=schedule_lr,
+                        initialize=initialize)
 
     def save(self, early_stopped: bool) -> None:
         checkpoints.save_state(self.model_dir, early_stopped, self.state)
