@@ -70,6 +70,8 @@ def main():
         "batch": batch,
         "loss": round(loss_value, 4),
         "device": jax.devices()[0].platform,
+        "pallas_train": os.environ.get("VQCPCB_PALLAS_ATTENTION_TRAIN", "1"),
+        "pallas_relbias": os.environ.get("VQCPCB_PALLAS_RELBIAS", "0"),
     }))
 
 

@@ -33,6 +33,15 @@ def main():
     t.test_fused_train_dropout_vjp_finite_difference()
     print("f32 dropout custom-VJP vs finite differences: OK")
 
+    t.test_relbias_fused_forward_matches_xla(24, 24, "causal")
+    t.test_relbias_fused_forward_matches_xla(32, 8, "anticausal_rect")
+    print("f32 relbias kernel forward (ratio 1 + 4): OK")
+    t.test_relbias_fused_grads_match_xla(24, 24)
+    t.test_relbias_fused_grads_match_xla(32, 8)
+    print("f32 relbias kernel grads (q/k/v/e1/e2): OK")
+    t.test_relbias_dropout_vjp_finite_difference()
+    print("f32 relbias dropout custom-VJP vs finite differences: OK")
+
     os.environ["VQCPCB_PALLAS_BF16_DOTS"] = "1"
 
     class _Env:

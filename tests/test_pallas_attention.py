@@ -234,6 +234,121 @@ def test_fused_train_grads_bf16_dots(monkeypatch):
                                    rtol=3e-2, atol=3e-2)
 
 
+# ---- fully-fused relative-bias kernel (in-kernel skew) ----------------------
+
+def _relbias_loss(q, k, v, mask, e1, e2, dropout=0.0, seed_val=0):
+    from vqcpcb_tpu.ops.pallas_attention import (
+        NEG_BIG, fused_attention_train_relbias)
+    mask_f = jnp.maximum(mask.astype(jnp.float32), NEG_BIG)
+    seed = jnp.full((1,), seed_val, jnp.int32)
+    interp = jax.default_backend() != "tpu"
+    out = fused_attention_train_relbias(dropout, interp, seed, q, k, v,
+                                        mask_f, e1, e2)
+    return out, (out * jnp.cos(jnp.arange(out.size).reshape(out.shape))).sum()
+
+
+@pytest.mark.parametrize("t,s,mask_kind", [
+    (24, 24, "causal"),
+    (32, 8, "anticausal_rect"),    # subsampled, ratio 4
+    (16, 16, None),
+])
+def test_relbias_fused_forward_matches_xla(t, s, mask_kind):
+    """The in-kernel log-shift skew reproduces the XLA pad/reshape skew."""
+    q, k, v, _, e1, e2 = _inputs(t=t, s=s, s_src=s)
+    if mask_kind == "causal":
+        mask = causal_mask(t)
+    elif mask_kind == "anticausal_rect":
+        mask = anticausal_mask(s, sz_tgt=t)
+    else:
+        mask = jnp.zeros((t, s), jnp.float32)
+    got, _ = _relbias_loss(q, k, v, mask, e1, e2)
+    want = xla_attention(q, k, v, mask, e1, e2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("t,s", [(24, 24), (32, 8)])
+def test_relbias_fused_grads_match_xla(t, s):
+    """q/k/v/e1/e2 gradients through the in-kernel skew transpose (mirrored
+    right-shift + accumulated dE) match autodiff of the XLA path."""
+    q, k, v, _, e1, e2 = _inputs(t=t, s=s, s_src=s)
+    mask = causal_mask(t) if t == s else anticausal_mask(s, sz_tgt=t)
+    args = (q, k, v, e1, e2)
+
+    def f_fused(*a):
+        return _relbias_loss(a[0], a[1], a[2], mask, a[3], a[4])[1]
+
+    def f_xla(*a):
+        return _xla_loss(a[0], a[1], a[2], mask, a[3], a[4])
+
+    g_fused = jax.grad(f_fused, argnums=(0, 1, 2, 3, 4))(*args)
+    g_xla = jax.grad(f_xla, argnums=(0, 1, 2, 3, 4))(*args)
+    for gf, gx in zip(g_fused, g_xla):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gx),
+                                   rtol=2e-4, atol=2e-5)
+    # e2's offset-0 row is never validly addressed — its grad must be zero
+    np.testing.assert_array_equal(np.asarray(g_fused[4][:, 0, :]), 0.0)
+    np.testing.assert_allclose(np.asarray(g_xla[4][:, 0, :]), 0.0, atol=1e-7)
+
+
+def test_mha_training_path_uses_relbias_kernel(monkeypatch):
+    """MultiheadAttention(training=True) routes through the fully-fused
+    relative-bias kernel when VQCPCB_PALLAS_RELBIAS is on, and matches the
+    XLA path at dropout=0."""
+    import vqcpcb_tpu.ops.pallas_attention as pa
+    from vqcpcb_tpu.ops.attention import MultiheadAttention
+
+    monkeypatch.setattr(pa, "use_pallas_attention_train", lambda: True)
+    monkeypatch.setattr(pa, "use_pallas_relbias", lambda: True)
+    calls = []
+    orig = pa.fused_attention_train_relbias
+
+    def interp(dropout_rate, interpret, *a):
+        calls.append(1)
+        return orig(dropout_rate, True, *a)
+
+    monkeypatch.setattr(pa, "fused_attention_train_relbias", interp)
+
+    mha = MultiheadAttention(
+        embed_dim=16, num_heads=2, attention_bias_type="relative_attention",
+        num_channels_k=4, num_events_k=4, num_channels_q=4, num_events_q=4,
+        dropout=0.0)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 16, 16).astype(np.float32))
+    params = mha.init(jax.random.PRNGKey(0), x, x, x)
+    mask = causal_mask(16)
+    out_fused, w = mha.apply(params, x, x, x, attn_mask=mask, training=True,
+                             rngs={"dropout": jax.random.PRNGKey(1)})
+    assert w is None and calls
+    out_xla, _ = mha.apply(params, x, x, x, attn_mask=mask, training=False)
+    np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_xla),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_relbias_dropout_vjp_finite_difference():
+    """Fixed-seed dropout through the fully-fused relative-bias kernel: the
+    custom VJP must agree with central finite differences — this pins the
+    fwd/bwd in-kernel PRNG regeneration to the same per-grid-step seed
+    offset (seed + h*B + b under the (H, B) grid).
+
+    HARDWARE-ONLY (see test_fused_train_dropout_statistics)."""
+    if jax.default_backend() != "tpu":
+        pytest.skip("in-kernel PRNG requires real TPU (interpreter stubs it)")
+    q, k, v, mask, e1, e2 = _inputs(t=16, s=16, s_src=16)
+
+    def f(qq):
+        return _relbias_loss(qq, k, v, mask, e1, e2, dropout=0.3,
+                             seed_val=3)[1]
+
+    g = jax.grad(f)(q)
+    rng = np.random.RandomState(5)
+    u = jnp.asarray(rng.randn(*q.shape).astype(np.float32))
+    eps = 1e-3
+    fd = (float(f(q + eps * u)) - float(f(q - eps * u))) / (2 * eps)
+    analytic = float((g * u).sum())
+    assert abs(fd - analytic) < 5e-2 * max(1.0, abs(analytic)), (fd, analytic)
+
+
 def test_fused_train_grad_placeholder_bias_length1_target():
     """Regression (ADVICE r2): with the (B*H, 1, 1) zero placeholder bias and
     a length-1 target (t == 1, s > 1), the bwd used to return a (B*H, 1, s)

@@ -141,8 +141,9 @@ class MultiheadAttention(nn.Module):
         # scatter-free transpose (pallas_attention.py)
         if training:
             from vqcpcb_tpu.ops.pallas_attention import (
-                NEG_BIG, fused_attention_train, fused_attention_train_tp,
-                use_pallas_attention_train)
+                NEG_BIG, fused_attention_train, fused_attention_train_relbias,
+                fused_attention_train_relbias_tp, fused_attention_train_tp,
+                use_pallas_attention_train, use_pallas_relbias)
             from vqcpcb_tpu.parallel import mesh as mesh_lib
             b, h, t, d = q.shape
             s = k.shape[2]
@@ -161,23 +162,37 @@ class MultiheadAttention(nn.Module):
                 mask_f = (jnp.zeros((t, s), jnp.float32) if attn_mask is None
                           else jnp.maximum(attn_mask.astype(jnp.float32),
                                            NEG_BIG))
+                if self.dropout > 0.0:
+                    seed0 = jax.random.randint(
+                        self.make_rng("dropout"), (1,), 0,
+                        jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
+                else:
+                    seed0 = jnp.zeros((1,), jnp.int32)
+                # fully-fused bias: the skew runs in-kernel, so no
+                # (B*H, T, S) bias/score-gradient tensor touches HBM
+                # (VQCPCB_PALLAS_RELBIAS, pallas_attention.py)
+                if self.e1 is not None and use_pallas_relbias():
+                    if tp_mesh is not None:
+                        out = fused_attention_train_relbias_tp(
+                            tp_mesh, float(self.dropout), False, seed0,
+                            q, k, v, mask_f, self.e1, self.e2)
+                    else:
+                        out = fused_attention_train_relbias(
+                            float(self.dropout), False, seed0,
+                            q, k, v, mask_f, self.e1, self.e2)
+                    out = out.transpose(0, 2, 1, 3).reshape(b, t, h * d)
+                    return self.out_proj(out.astype(query.dtype)), None
                 if self.e1 is not None:
                     bias4 = subsampled_relative_bias(q, self.e1, self.e2)
                 else:
                     bias4 = jnp.zeros((b, h, 1, 1), jnp.float32)
-                if self.dropout > 0.0:
-                    seed = jax.random.randint(
-                        self.make_rng("dropout"), (1,), 0,
-                        jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
-                else:
-                    seed = jnp.zeros((1,), jnp.int32)
                 if tp_mesh is not None:
                     out = fused_attention_train_tp(
-                        tp_mesh, float(self.dropout), False, seed,
+                        tp_mesh, float(self.dropout), False, seed0,
                         q, k, v, mask_f, bias4)
                 else:
                     out = fused_attention_train(
-                        float(self.dropout), False, seed, q, k, v, mask_f,
+                        float(self.dropout), False, seed0, q, k, v, mask_f,
                         bias4.reshape(b * h, bias4.shape[2], bias4.shape[3]))
                 out = out.transpose(0, 2, 1, 3).reshape(b, t, h * d)
                 return self.out_proj(out.astype(query.dtype)), None

@@ -367,6 +367,332 @@ fused_attention_train.defvjp(_fused_attention_train_fwd,
                              _fused_attention_train_bwd)
 
 
+# =============================================================================
+# Fully-fused relative-bias training attention.
+#
+# The kernels above still leave the LEARNED BIAS path in XLA: the skew builds
+# a (B*H, T, S) f32 bias in HBM, the forward kernel re-reads it, and the
+# backward kernel writes the full (B*H, T, S) score gradient back to HBM for
+# the skew's autodiff transpose — ~1 GB of HBM round-trips per flagship
+# decoder step (batch 32, T=S=384, H=8). This section moves the ENTIRE bias
+# computation into the kernel, so no (B*H, T, S) tensor ever touches HBM.
+#
+# Mosaic rejects the skew's flat (s, t)-reinterpretation reshape in-kernel
+# (CLAUDE.md), so the skew is reformulated as a per-row shift, which IS
+# Mosaic-legal. From relative_bias_index_maps (relative_attention.py):
+#
+#     bias[t, s] = C[t, s + (S-1) - t//ratio],   C = q @ concat(e1, e2[1:]).T
+#
+# where the combined (2S-1, d) embedding table E = [e1; e2[1:]] makes the
+# causal/anticausal validity masks fall out for free (e2[0] — anticausal
+# offset 0 — is never validly addressed: valid2 requires s - t//ratio >= 1;
+# reads past the table hit zero-padding exactly where valid1/valid2 are both
+# false). The per-row shift by (S-1) - t//ratio is decomposed into
+# ceil(log2(S)) conditional circular rolls (static concat-of-slices + iota
+# bit masks — VPU lane rotations, no gather/reshape). The backward applies
+# the mirrored right-shift to the score gradient; both dE contractions are
+# then T-wide (384) MXU-friendly dots, and dE accumulates across the batch
+# grid steps in VMEM (grid (H, B), batch innermost) instead of materialising
+# per-(b,h) gradients.
+#
+# Reference semantics being fused: VQCPCB/transformer/
+# subsampled_relative_attention.py (skew) + multihead_attention_custom.py
+# :314-346 (score assembly). Opt-in via VQCPCB_PALLAS_RELBIAS until measured
+# on-chip; parity is tested in interpret mode (tests/test_pallas_attention.py).
+# =============================================================================
+
+
+def use_pallas_relbias() -> bool:
+    """Gate for the fully-fused relative-bias training kernel (requires the
+    fused train path itself to be on)."""
+    return (os.environ.get("VQCPCB_PALLAS_RELBIAS", "0") == "1"
+            and use_pallas_attention_train())
+
+
+def _row_shift(x, shifts, nbits, right):
+    """Shift row t of x (T, W) by shifts[t] lanes (left when right=False).
+
+    Decomposed into `nbits` conditional static circular rolls — concat of
+    static lane slices selected per-row by the shift's bits. Callers
+    guarantee reads never cross the wraparound seam (max shift + max read
+    index < W), so the circularity is unobservable."""
+    w = x.shape[-1]
+    for bit in range(nbits):
+        amt = 1 << bit
+        if right:
+            rolled = jnp.concatenate([x[:, w - amt:], x[:, :w - amt]],
+                                     axis=-1)
+        else:
+            rolled = jnp.concatenate([x[:, amt:], x[:, :amt]], axis=-1)
+        x = jnp.where((shifts & amt) != 0, rolled, x)
+    return x
+
+
+def _relbias_shifts(t, src_len, ratio):
+    rows = jax.lax.broadcasted_iota(jnp.int32, (t, 1), 0)
+    return (src_len - 1) - rows // ratio
+
+
+def _relbias_fwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, e_ref,
+                        out_ref, *, dropout_rate, dot_dtype, ratio, src_len,
+                        nbits):
+    q = q_ref[0].astype(dot_dtype)                   # (T, d)
+    k = k_ref[0].astype(dot_dtype)                   # (S, d)
+    v = v_ref[0].astype(dot_dtype)
+    e = e_ref[0].astype(dot_dtype)                   # (Wp, d), zero-padded
+    t = q.shape[0]
+    scores = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+    c = jax.lax.dot_general(q, e, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)  # (T, Wp)
+    shifts = _relbias_shifts(t, src_len, ratio)
+    bias = _row_shift(c, shifts, nbits, right=False)[:, :src_len]
+    scores = scores + mask_ref[:] + bias
+    w = jax.nn.softmax(scores, axis=-1)
+    if dropout_rate > 0.0:
+        pltpu.prng_seed(seed_ref[0]
+                        + pl.program_id(0) * pl.num_programs(1)
+                        + pl.program_id(1))
+        keep = _dropout_keep(w.shape, dropout_rate)
+        w = jnp.where(keep, w * (1.0 / (1.0 - dropout_rate)), 0.0)
+    out_ref[0] = jnp.dot(w.astype(dot_dtype), v,
+                         preferred_element_type=jnp.float32
+                         ).astype(out_ref.dtype)
+
+
+def _relbias_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, e_ref,
+                        do_ref, dq_ref, dk_ref, dv_ref, dmask_ref, de_ref, *,
+                        dropout_rate, dot_dtype, ratio, src_len, nbits):
+    q = q_ref[0].astype(dot_dtype)
+    k = k_ref[0].astype(dot_dtype)
+    v = v_ref[0].astype(dot_dtype)
+    e = e_ref[0].astype(dot_dtype)                   # (Wp, d)
+    do = do_ref[0].astype(dot_dtype)
+    t = q.shape[0]
+    wp = e.shape[0]
+    scores = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+    c = jax.lax.dot_general(q, e, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    shifts = _relbias_shifts(t, src_len, ratio)
+    bias = _row_shift(c, shifts, nbits, right=False)[:, :src_len]
+    scores = scores + mask_ref[:] + bias
+    w = jax.nn.softmax(scores, axis=-1)
+    if dropout_rate > 0.0:
+        pltpu.prng_seed(seed_ref[0]
+                        + pl.program_id(0) * pl.num_programs(1)
+                        + pl.program_id(1))
+        keep = _dropout_keep(w.shape, dropout_rate)
+        inv = 1.0 / (1.0 - dropout_rate)
+        w_drop = jnp.where(keep, w * inv, 0.0)
+    else:
+        keep, inv, w_drop = None, 1.0, w
+    dv_ref[0] = jnp.dot(w_drop.astype(dot_dtype).T, do,
+                        preferred_element_type=jnp.float32
+                        ).astype(dv_ref.dtype)
+    dw = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
+    if keep is not None:
+        dw = jnp.where(keep, dw * inv, 0.0)
+    ds = w * (dw - jnp.sum(dw * w, axis=-1, keepdims=True))
+    i = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _init_mask():
+        dmask_ref[:] = ds
+
+    @pl.when(i > 0)
+    def _acc_mask():
+        dmask_ref[:] = dmask_ref[:] + ds
+
+    # bias path: dC[t, j] = ds[t, j - shift(t)] (the forward shift's
+    # transpose is the mirrored right-shift of the zero-padded gradient)
+    ds_pad = jnp.concatenate(
+        [ds, jnp.zeros((t, wp - src_len), jnp.float32)], axis=-1)
+    dc = _row_shift(ds_pad, shifts, nbits, right=True)
+    ds_d = ds.astype(dot_dtype)
+    dc_d = dc.astype(dot_dtype)
+    dq_ref[0] = (jnp.dot(ds_d, k, preferred_element_type=jnp.float32)
+                 + jax.lax.dot_general(
+                     dc_d, e, (((1,), (0,)), ((), ())),
+                     preferred_element_type=jnp.float32)
+                 ).astype(dq_ref.dtype)
+    dk_ref[0] = jnp.dot(ds_d.T, q, preferred_element_type=jnp.float32
+                        ).astype(dk_ref.dtype)
+    de = jax.lax.dot_general(dc_d, q.astype(dot_dtype),
+                             (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)  # (Wp, d)
+    b_idx = pl.program_id(1)
+
+    @pl.when(b_idx == 0)
+    def _init_de():
+        de_ref[0] = de
+
+    @pl.when(b_idx > 0)
+    def _acc_de():
+        de_ref[0] = de_ref[0] + de
+
+
+def _relbias_geometry(t, s):
+    """(padded table width, shift bits, ratio) for tgt len t, src len s."""
+    assert t % s == 0, (t, s)
+    wp = max(128, ((2 * s - 1 + 127) // 128) * 128)
+    nbits = (s - 1).bit_length()
+    return wp, nbits, t // s
+
+
+def _relbias_pack_e(e1, e2, wp):
+    """(H, S, d) x2 -> zero-padded combined table (H, Wp, d)."""
+    h, s, d = e1.shape
+    e = jnp.concatenate([e1, e2[:, 1:, :]], axis=1)
+    return jnp.concatenate(
+        [e, jnp.zeros((h, wp - (2 * s - 1), d), e.dtype)], axis=1)
+
+
+def _relbias_specs(h, t, s, d, wp):
+    return [
+        pl.BlockSpec(memory_space=pltpu.SMEM),                       # seed
+        pl.BlockSpec((1, t, d), lambda hi, bi: (bi * h + hi, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, s, d), lambda hi, bi: (bi * h + hi, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, s, d), lambda hi, bi: (bi * h + hi, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((t, s), lambda hi, bi: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, wp, d), lambda hi, bi: (hi, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def fused_attention_train_relbias(dropout_rate, interpret, seed, q, k, v,
+                                  mask, e1, e2):
+    """Differentiable fused attention with the relative bias computed
+    IN-KERNEL (no (B*H, T, S) HBM tensors in either pass).
+
+    dropout_rate/interpret: static; seed: (1,) int32; q: (B, H, T, d) already
+    scaled; k/v: (B, H, S, d); mask: (T, S) additive finite; e1/e2:
+    (H, S, d) learned embeddings (reference layout, relative_attention.py).
+    Requires T % S == 0. Returns (B, H, T, d) in q.dtype."""
+    out, _ = _fused_relbias_fwd(dropout_rate, interpret, seed, q, k, v,
+                                mask, e1, e2)
+    return out
+
+
+def _fused_relbias_fwd(dropout_rate, interpret, seed, q, k, v, mask, e1, e2):
+    interpret = _interpret_mode(interpret)
+    b, h, t, d = q.shape
+    s = k.shape[2]
+    assert e1.shape == (h, s, d), (e1.shape, (h, s, d))
+    wp, nbits, ratio = _relbias_geometry(t, s)
+    e = _relbias_pack_e(e1, e2, wp)
+    qf = q.reshape(b * h, t, d)
+    kf = k.reshape(b * h, s, d)
+    vf = v.reshape(b * h, s, d)
+    out = pl.pallas_call(
+        functools.partial(_relbias_fwd_kernel, dropout_rate=dropout_rate,
+                          dot_dtype=_dots_dtype(), ratio=ratio, src_len=s,
+                          nbits=nbits),
+        grid=(h, b),
+        in_specs=_relbias_specs(h, t, s, d, wp),
+        out_specs=pl.BlockSpec((1, t, d), lambda hi, bi: (bi * h + hi, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * h, t, d), q.dtype),
+        interpret=interpret,
+    )(seed, qf, kf, vf, mask, e)
+    return out.reshape(b, h, t, d), (seed, q, k, v, mask, e)
+
+
+def _fused_relbias_bwd(dropout_rate, interpret, residuals, g):
+    interpret = _interpret_mode(interpret)
+    seed, q, k, v, mask, e = residuals
+    b, h, t, d = q.shape
+    s = k.shape[2]
+    wp = e.shape[1]
+    _, nbits, ratio = _relbias_geometry(t, s)
+    qf = q.reshape(b * h, t, d)
+    kf = k.reshape(b * h, s, d)
+    vf = v.reshape(b * h, s, d)
+    gf = g.reshape(b * h, t, d)
+    dq, dk, dv, dmask, de = pl.pallas_call(
+        functools.partial(_relbias_bwd_kernel, dropout_rate=dropout_rate,
+                          dot_dtype=_dots_dtype(), ratio=ratio, src_len=s,
+                          nbits=nbits),
+        grid=(h, b),
+        in_specs=_relbias_specs(h, t, s, d, wp) + [
+            pl.BlockSpec((1, t, d), lambda hi, bi: (bi * h + hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, t, d), lambda hi, bi: (bi * h + hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s, d), lambda hi, bi: (bi * h + hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s, d), lambda hi, bi: (bi * h + hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((t, s), lambda hi, bi: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, wp, d), lambda hi, bi: (hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, t, d), q.dtype),
+            jax.ShapeDtypeStruct((b * h, s, d), k.dtype),
+            jax.ShapeDtypeStruct((b * h, s, d), v.dtype),
+            jax.ShapeDtypeStruct((t, s), jnp.float32),
+            jax.ShapeDtypeStruct((h, wp, d), jnp.float32),
+        ],
+        interpret=interpret,
+    )(seed, qf, kf, vf, mask, e, gf)
+    de1 = de[:, :s, :].astype(q.dtype)
+    # e2's offset-0 row is never validly addressed (valid2 needs
+    # s - t//ratio >= 1), so its gradient is exactly zero
+    de2 = jnp.concatenate(
+        [jnp.zeros((h, 1, d), q.dtype), de[:, s:2 * s - 1, :].astype(q.dtype)],
+        axis=1)
+    dseed = np.zeros((), jax.dtypes.float0)
+    return (dseed, dq.reshape(q.shape), dk.reshape(k.shape),
+            dv.reshape(v.shape), dmask, de1, de2)
+
+
+fused_attention_train_relbias.defvjp(_fused_relbias_fwd, _fused_relbias_bwd)
+
+
+def fused_attention_train_relbias_tp(mesh, dropout_rate, interpret, seed,
+                                     q, k, v, mask, e1, e2):
+    """fused_attention_train_relbias under a DPxTP mesh via shard_map: batch
+    on 'data', heads on 'model' — the same head-aligned layout TP_RULES give
+    rel_e1/rel_e2 (P('model', None, None)), so the forced in_specs are no-op
+    reshards in a TP train step. Requires H % model == 0, B % data == 0."""
+    import functools as _ft
+    try:
+        from jax import shard_map as _sm
+        shard_map = _ft.partial(_sm, check_vma=False)
+    except ImportError:  # older jax: experimental API, check_rep kwarg
+        from jax.experimental.shard_map import shard_map as _sm
+        shard_map = _ft.partial(_sm, check_rep=False)
+
+    from vqcpcb_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, P
+
+    b, h, t, d = q.shape
+    n_model = mesh.shape[MODEL_AXIS]
+    lb, lh = b // mesh.shape[DATA_AXIS], h // n_model
+
+    def local(seed, q, k, v, mask, e1, e2):
+        shard = (jax.lax.axis_index(DATA_AXIS) * n_model
+                 + jax.lax.axis_index(MODEL_AXIS))
+        seed = seed + shard.astype(seed.dtype) * np.int32(lb * lh)
+        return fused_attention_train_relbias(
+            dropout_rate, interpret, seed, q, k, v, mask, e1, e2)
+
+    qkv_spec = P(DATA_AXIS, MODEL_AXIS, None, None)
+    e_spec = P(MODEL_AXIS, None, None)
+    return shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), qkv_spec, qkv_spec, qkv_spec, P(None, None),
+                  e_spec, e_spec),
+        out_specs=qkv_spec,
+    )(seed, q, k, v, mask, e1, e2)
+
+
 def fused_attention_train_tp(mesh, dropout_rate, interpret, seed,
                              q, k, v, mask, bias4):
     """fused_attention_train under a DPxTP mesh via shard_map.
