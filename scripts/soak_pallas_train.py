@@ -63,15 +63,30 @@ def run_arm(workdir, name, env_extra, epochs, enc_cfg):
 
 
 def main():
-    epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    # soak_pallas_train.py [num_epochs] [--relbias]
+    #   default:   XLA attention vs fused kernel (skew in XLA)
+    #   --relbias: fused kernel vs fused kernel + in-kernel skew
+    #              (VQCPCB_PALLAS_RELBIAS=1) — the default-flip evidence
+    args = [a for a in sys.argv[1:] if not a.startswith("-")]
+    relbias = "--relbias" in sys.argv[1:]
+    epochs = int(args[0]) if args else 3
     workdir = tempfile.mkdtemp(prefix="soak_pallas")
     os.makedirs(os.path.join(workdir, "configs"))
     # tiny encoder the decoder trains against
     enc_smoke = os.path.join(REPO, "tests", "configs", "encoder_smoke.py")
-    xla = run_arm(workdir, "xla", {"VQCPCB_PALLAS_ATTENTION_TRAIN": "0"},
-                  epochs, enc_smoke)
-    pallas = run_arm(workdir, "pallas", {"VQCPCB_PALLAS_ATTENTION_TRAIN": "1"},
-                     epochs, enc_smoke)
+    if relbias:
+        base = {"VQCPCB_PALLAS_ATTENTION_TRAIN": "1"}
+        xla = run_arm(workdir, "xla", dict(base, VQCPCB_PALLAS_RELBIAS="0"),
+                      epochs, enc_smoke)
+        pallas = run_arm(workdir, "pallas",
+                         dict(base, VQCPCB_PALLAS_RELBIAS="1"),
+                         epochs, enc_smoke)
+    else:
+        xla = run_arm(workdir, "xla", {"VQCPCB_PALLAS_ATTENTION_TRAIN": "0"},
+                      epochs, enc_smoke)
+        pallas = run_arm(workdir, "pallas",
+                         {"VQCPCB_PALLAS_ATTENTION_TRAIN": "1"},
+                         epochs, enc_smoke)
     print(json.dumps({"xla": xla, "pallas": pallas}))
     for (xt, xv), (pt, pv) in zip(xla, pallas):
         rel = abs(pt - xt) / max(abs(xt), 1e-9)

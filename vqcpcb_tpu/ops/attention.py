@@ -135,10 +135,12 @@ class MultiheadAttention(nn.Module):
                 out = out.transpose(0, 2, 1, 3).reshape(b, t, h * d)
                 return self.out_proj(out.astype(query.dtype)), None
 
-        # opt-in fused TRAINING path: custom-VJP kernels keep scores/weights
-        # in VMEM in both passes, with in-kernel attention-weight dropout;
-        # the relative-bias skew stays in XLA so e1/e2 gradients ride its
-        # scatter-free transpose (pallas_attention.py)
+        # fused TRAINING path (default on TPU): custom-VJP kernels keep
+        # scores/weights in VMEM in both passes, with in-kernel dropout.
+        # Relative bias: with VQCPCB_PALLAS_RELBIAS=1 the skew AND its
+        # e1/e2-gradient transpose run in-kernel (fused_attention_train_
+        # relbias); otherwise the skew stays in XLA and its scatter-free
+        # pad/reshape transpose carries the e1/e2 grads (pallas_attention.py)
         if training:
             from vqcpcb_tpu.ops.pallas_attention import (
                 NEG_BIG, fused_attention_train, fused_attention_train_relbias,

@@ -41,11 +41,8 @@ from vqcpcb_tpu.models.encoder import Encoder, merge_codes
 from vqcpcb_tpu.parallel import mesh as mesh_lib
 from vqcpcb_tpu.training import checkpoints
 from vqcpcb_tpu.training.loop import TrainLoopMixin
-from vqcpcb_tpu.training.metrics import MetricsWriter
 from vqcpcb_tpu.training.optim import make_optimizer
-from vqcpcb_tpu.training.profiling import maybe_profile
 from vqcpcb_tpu.training.train_state import TrainState
-from vqcpcb_tpu.utils import dict_pretty_print
 
 
 def compute_start_end_times(t: int, num_blocks: int, num_blocks_model: int):

@@ -33,11 +33,8 @@ from vqcpcb_tpu.ops.quantizer import (
 from vqcpcb_tpu.parallel import mesh as mesh_lib
 from vqcpcb_tpu.training import checkpoints
 from vqcpcb_tpu.training.loop import TrainLoopMixin
-from vqcpcb_tpu.training.metrics import MetricsWriter
 from vqcpcb_tpu.training.optim import make_optimizer
-from vqcpcb_tpu.training.profiling import maybe_profile
 from vqcpcb_tpu.training.train_state import TrainState
-from vqcpcb_tpu.utils import dict_pretty_print
 
 
 class VQCPCEncoderTrainer(TrainLoopMixin):

@@ -27,11 +27,8 @@ from vqcpcb_tpu.models.prior import PriorRelative
 from vqcpcb_tpu.parallel import mesh as mesh_lib
 from vqcpcb_tpu.training import checkpoints
 from vqcpcb_tpu.training.loop import TrainLoopMixin
-from vqcpcb_tpu.training.metrics import MetricsWriter
 from vqcpcb_tpu.training.optim import make_optimizer
-from vqcpcb_tpu.training.profiling import maybe_profile
 from vqcpcb_tpu.training.train_state import TrainState
-from vqcpcb_tpu.utils import dict_pretty_print
 
 
 class PriorTrainer(TrainLoopMixin):
@@ -141,8 +138,6 @@ class PriorTrainer(TrainLoopMixin):
 
     def epoch(self, data_loader: Iterator, train: bool,
               num_batches: Optional[int]) -> Dict:
-        import time
-
         from vqcpcb_tpu.training.accumulate import MetricAccumulator
         acc_metrics = MetricAccumulator()
         tokens = 0
