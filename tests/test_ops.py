@@ -221,3 +221,29 @@ def test_bigru_matches_two_unidirectional_grus():
         outs.append(np.asarray(uni.apply({"params": p}, xx))[:, -1])
     want = np.concatenate(outs, axis=-1)
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_gru_projection_placement_identical(monkeypatch):
+    """VQCPCB_GRU_PROJ=scan (input projection inside the scan body) computes
+    the same math as the default hoisted projection — only the HBM traffic
+    pattern differs (ops/gru.py:_project_in_scan)."""
+    from vqcpcb_tpu.ops.gru import GRU, BiGRU
+    rng = np.random.RandomState(11)
+    b, t, inp, hid, layers = 3, 7, 5, 4, 2
+    x = jnp.asarray(rng.randn(b, t, inp).astype(np.float32))
+
+    for mod in (GRU(hidden_size=hid, num_layers=layers),
+                BiGRU(hidden_size=hid, num_layers=layers)):
+        params = mod.init(jax.random.PRNGKey(0), x)
+
+        def loss(p):
+            return jnp.sum(mod.apply(p, x) ** 2)
+
+        monkeypatch.delenv("VQCPCB_GRU_PROJ", raising=False)
+        want, gwant = jax.value_and_grad(loss)(params)
+        monkeypatch.setenv("VQCPCB_GRU_PROJ", "scan")
+        got, ggot = jax.value_and_grad(loss)(params)
+        np.testing.assert_allclose(float(got), float(want), rtol=1e-5)
+        for a, b_ in zip(jax.tree.leaves(ggot), jax.tree.leaves(gwant)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=1e-4, atol=1e-5)

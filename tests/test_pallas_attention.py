@@ -325,6 +325,19 @@ def test_mha_training_path_uses_relbias_kernel(monkeypatch):
                                rtol=2e-4, atol=2e-5)
 
 
+def test_inference_fused_attention_relbias_route(monkeypatch):
+    """fused_attention (inference) routes through the in-kernel-skew kernel
+    when VQCPCB_PALLAS_RELBIAS is on and still matches the XLA path."""
+    import vqcpcb_tpu.ops.pallas_attention as pa
+    monkeypatch.setattr(pa, "use_pallas_relbias", lambda: True)
+    q, k, v, _, e1, e2 = _inputs(t=24, s=24, s_src=24)
+    mask = causal_mask(24)
+    got = pa.fused_attention(q, k, v, mask, e1, e2, interpret=True)
+    want = xla_attention(q, k, v, mask, e1, e2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_relbias_dropout_vjp_finite_difference():
     """Fixed-seed dropout through the fully-fused relative-bias kernel: the
     custom VJP must agree with central finite differences — this pins the

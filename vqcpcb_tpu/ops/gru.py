@@ -15,10 +15,26 @@ inside the scan. Gate order and update equations match torch.nn.GRU:
 """
 from __future__ import annotations
 
+import os
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+
+
+def _project_in_scan() -> bool:
+    """Where the input projection x @ W_i runs (read at trace time).
+
+    'hoist' (default): one big (N*T, in) @ (in, 3h) MXU matmul before the
+    scan — fewest launches, but materialises the (.., T, 3h) projected
+    sequence through HBM (3h/in times the bytes of x; ~434 MB per layer at
+    the bench geometry).
+    VQCPCB_GRU_PROJ=scan: project per step inside the scan body — the scan
+    reads x directly and the projected tensor never exists; per-step matmuls
+    at these row counts (hundreds to thousands) still fill the MXU. Which
+    wins is bandwidth-vs-launch-overhead and is measured on-chip by
+    scripts/bench_gru.py."""
+    return os.environ.get("VQCPCB_GRU_PROJ", "hoist") == "scan"
 
 
 class GRU(nn.Module):
@@ -35,15 +51,18 @@ class GRU(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         """x: (batch, time, input_dim) -> (batch, time, hidden_size)."""
-        h_seq = x
+        # one layout change per direction of travel: the layer stack is
+        # chained in the scan's native T-major layout (see BiGRU note)
+        h_seq = jnp.swapaxes(x, 0, 1)                      # (T, B, in)
         for layer in range(self.num_layers):
             h_seq = self._layer(h_seq, name=f"layer_{layer}")
             if self.dropout > 0.0 and layer < self.num_layers - 1:
                 h_seq = nn.Dropout(rate=self.dropout)(h_seq, deterministic=deterministic)
-        return h_seq
+        return jnp.swapaxes(h_seq, 0, 1)
 
-    def _layer(self, x: jnp.ndarray, name: str) -> jnp.ndarray:
-        batch, time, input_dim = x.shape
+    def _layer(self, xs: jnp.ndarray, name: str) -> jnp.ndarray:
+        """xs: (time, batch, input_dim) -> (time, batch, hidden_size)."""
+        time, batch, input_dim = xs.shape
         h = self.hidden_size
         scale = 1.0 / jnp.sqrt(h)
 
@@ -55,13 +74,20 @@ class GRU(nn.Module):
         b_i = self.param(f"{name}_b_i", uniform_init, (3 * h,))
         b_h = self.param(f"{name}_b_h", uniform_init, (3 * h,))
 
-        # One big MXU matmul over the whole sequence. NOTE: measured on
-        # v5e, bf16 casts inside the scan body re-tile the hidden state every
-        # step (160x slower) — the recurrence stays f32 unconditionally.
-        x_proj = jnp.einsum("bti,ih->bth", x, w_i,
-                            preferred_element_type=jnp.float32) + b_i
+        # NOTE: measured on v5e, bf16 casts inside the scan body re-tile the
+        # hidden state every step (160x slower) — the recurrence stays f32
+        # unconditionally. Projection placement: _project_in_scan().
+        in_scan = _project_in_scan()
+        if in_scan:
+            scan_xs = xs
+        else:
+            scan_xs = jnp.einsum("tbi,ih->tbh", xs, w_i,
+                                 preferred_element_type=jnp.float32) + b_i
 
         def step(h_prev, x_t):
+            if in_scan:
+                x_t = jnp.dot(x_t, w_i,
+                              preferred_element_type=jnp.float32) + b_i
             h_proj = jnp.dot(h_prev, w_h,
                              preferred_element_type=jnp.float32) + b_h
             xr, xz, xn = jnp.split(x_t, 3, axis=-1)
@@ -73,8 +99,8 @@ class GRU(nn.Module):
             return h_new, h_new
 
         h0 = jnp.zeros((batch, h), dtype=jnp.float32)
-        _, out = jax.lax.scan(step, h0, jnp.swapaxes(x_proj, 0, 1))
-        return jnp.swapaxes(out, 0, 1)
+        _, out = jax.lax.scan(step, h0, scan_xs)
+        return out
 
 
 class BiGRU(nn.Module):
@@ -102,25 +128,39 @@ class BiGRU(nn.Module):
         def uniform_init(key, shape, dtype=jnp.float32):
             return jax.random.uniform(key, shape, dtype, -scale, scale)
 
+        # ONE layout change up front: the whole layer stack runs T-major
+        # (scan's native layout). Only the last hidden state leaves, so no
+        # back-transpose exists anywhere — the previous per-layer
+        # moveaxis pairs forced physical HBM transposes of the (2, N, T, 3h)
+        # projected sequence (~434 MB/layer at the bench geometry).
         x_stack = jnp.stack([x, x[:, ::-1]], axis=0)       # (2, N, T, in)
-        batch, time = x.shape[0], x.shape[1]
+        xs = jnp.moveaxis(x_stack, 2, 0)                   # (T, 2, N, in)
+        batch = x.shape[0]
         h_last = None
         for layer in range(self.num_layers):
-            input_dim = x_stack.shape[-1]
+            input_dim = xs.shape[-1]
             w_i = self.param(f"layer_{layer}_w_i", uniform_init,
                              (2, input_dim, 3 * h))
             w_h = self.param(f"layer_{layer}_w_h", uniform_init, (2, h, 3 * h))
             b_i = self.param(f"layer_{layer}_b_i", uniform_init, (2, 3 * h))
             b_h = self.param(f"layer_{layer}_b_h", uniform_init, (2, 3 * h))
 
-            x_proj = jnp.einsum("dnti,dih->dnth", x_stack, w_i,
-                                preferred_element_type=jnp.float32
-                                ) + b_i[:, None, None]
+            in_scan = _project_in_scan()
+            if in_scan:
+                scan_xs = xs
+            else:
+                scan_xs = jnp.einsum("tdni,dih->tdnh", xs, w_i,
+                                     preferred_element_type=jnp.float32
+                                     ) + b_i[:, None]
 
             def step(h_prev, x_t):
                 # one batched matmul across both directions per time step
                 # (f32: see the GRU note — bf16 casts in-scan are a
                 # de-optimization on v5e)
+                if in_scan:
+                    x_t = jnp.einsum("dni,dih->dnh", x_t, w_i,
+                                     preferred_element_type=jnp.float32
+                                     ) + b_i[:, None]
                 h_proj = jnp.einsum("dnh,dhk->dnk", h_prev, w_h,
                                     preferred_element_type=jnp.float32
                                     ) + b_h[:, None]
@@ -133,11 +173,9 @@ class BiGRU(nn.Module):
                 return h_new, h_new
 
             h0 = jnp.zeros((2, batch, h), dtype=jnp.float32)
-            h_last, out = jax.lax.scan(step, h0,
-                                       jnp.moveaxis(x_proj, 2, 0))
-            x_stack = jnp.moveaxis(out, 0, 2)              # (2, N, T, h)
+            h_last, xs = jax.lax.scan(step, h0, scan_xs)   # xs: (T, 2, N, h)
             if self.dropout > 0.0 and layer < self.num_layers - 1:
-                x_stack = nn.Dropout(rate=self.dropout)(
-                    x_stack, deterministic=deterministic)
+                xs = nn.Dropout(rate=self.dropout)(
+                    xs, deterministic=deterministic)
 
         return jnp.concatenate([h_last[0], h_last[1]], axis=-1)

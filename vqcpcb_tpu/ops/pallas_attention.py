@@ -57,6 +57,11 @@ def fused_attention(q: jnp.ndarray,
         # -inf additive masks become large negatives so padded rows where
         # everything is masked cannot produce NaNs inside the kernel softmax
         mask = jnp.maximum(mask.astype(jnp.float32), NEG_BIG)
+    if e1 is not None and use_pallas_relbias():
+        # in-kernel skew: the (B*H, T, S) bias never exists in HBM (the
+        # trainable kernel at dropout 0 computes the identical forward)
+        return fused_attention_train_relbias(
+            0.0, interpret, jnp.zeros((1,), jnp.int32), q, k, v, mask, e1, e2)
     if e1 is not None:
         bias = subsampled_relative_bias(q, e1, e2).reshape(b * h, t, s)
     else:
