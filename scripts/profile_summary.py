@@ -56,6 +56,37 @@ def summarize(trace, track_filter=None):
     return tracks
 
 
+# coarse op-category buckets for the rollup (first match wins): enough to
+# answer "is this step matmul-, transpose-, loop- or gather-bound" at a
+# glance before drilling into the per-op table
+CATEGORIES = [
+    ("gather/scatter", ("gather", "scatter")),
+    ("transpose/copy", ("transpose", "copy", "bitcast")),
+    ("while/loop", ("while", "body")),
+    ("matmul", ("dot", "einsum", "conv")),
+    ("fusion", ("fusion", "fused")),
+    ("reduce", ("reduce", "all-reduce", "sum")),
+    ("dma/infeed", ("dma", "infeed", "outfeed", "dynamic-update")),
+]
+
+
+def categorize(name):
+    low = name.lower()
+    for cat, keys in CATEGORIES:
+        if any(k in low for k in keys):
+            return cat
+    return "other"
+
+
+def rollup(ops):
+    cats = collections.defaultdict(lambda: [0.0, 0])
+    for name, (us, count) in ops.items():
+        c = cats[categorize(name)]
+        c[0] += us
+        c[1] += count
+    return cats
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("profile_dir")
@@ -78,6 +109,10 @@ def main():
         if total_us <= 0:
             continue
         print(f"\n== {track}: {total_us / 1e3:.2f} ms total ==")
+        for cat, (us, count) in sorted(rollup(ops).items(),
+                                       key=lambda kv: -kv[1][0]):
+            print(f"  [{cat:>15s}] {us / 1e3:9.2f} ms "
+                  f"{us / total_us * 100:5.1f}%  x{count}")
         ranked = sorted(ops.items(), key=lambda kv: -kv[1][0])[:args.top]
         for name, (us, count) in ranked:
             print(f"  {us / 1e3:9.2f} ms  {us / total_us * 100:5.1f}%  "

@@ -38,3 +38,20 @@ def test_bench_perplexity_present_without_trained_phase(monkeypatch, capsys):
     record = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert record["codebook_perplexity"] > 0
     assert "trained_guard_ok" not in record
+
+
+def test_bench_gru_script_runs(monkeypatch, capsys):
+    """scripts/bench_gru.py emits one JSON line per projection mode with
+    identical device_get anchors (same math, different HBM pattern)."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "bench_gru", os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "scripts", "bench_gru.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    monkeypatch.setenv("BENCH_GRU_ROWS", "4")
+    monkeypatch.setenv("BENCH_GRU_STEPS", "1")
+    a = mod.run_mode("hoist", 4, 4, 8, 16, 1)
+    b = mod.run_mode("scan", 4, 4, 8, 16, 1)
+    assert a["anchor"] == b["anchor"]
+    assert a["ms_per_step"] > 0 and b["ms_per_step"] > 0
