@@ -1,13 +1,16 @@
 """Isolated BiGRU downscaler bench at the flagship encoder geometry.
 
-The headline encoder train step runs at ~3% of f32 peak by XLA cost
-analysis (37 GFLOP in 25.7 ms), so it is NOT compute-bound — the GRU scans
-are the prime suspect (16 sequential steps, and the hoisted input
-projection materialises a 3h-wide projected sequence through HBM, ~434 MB
-per layer at this geometry). This bench times the downscaler BiGRU
-fwd+bwd in isolation under both projection placements
-(VQCPCB_GRU_PROJ=hoist|scan, ops/gru.py) to decide the default on real
-hardware, with XLA cost analysis alongside.
+CAUTION on the printed "gflops": XLA cost analysis counts while-loop
+bodies ONCE, not x trip count, so scan-heavy programs are badly
+undercounted (this script's own two modes report different flops for
+identical math — the hoisted projection is outside the loop and counted,
+the in-scan one is not). Hand-counting the recurrence puts the flagship
+encoder train step at ~750 GFLOP / 25.7 ms ~= 60% of the 49 TFLOP/s
+f32-effective peak — compute-dominated, with the remaining ~40% overhead
+split between the scan-layout transposes (now removed: T-major chaining,
+ops/gru.py) and the hoisted projection's HBM round-trip (~434 MB/layer;
+VQCPCB_GRU_PROJ=scan avoids it). This bench times both placements fwd+bwd
+in isolation on real hardware; ms_per_step is the signal, not gflops.
 
 Run ON the TPU: python scripts/bench_gru.py
 Row count mirrors bench.py: positives 2*16 windows x 12 blocks = 384 rows
