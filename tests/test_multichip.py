@@ -1,5 +1,6 @@
 """Multi-device sharding: the graft dry run (DP x TP mesh) and a
 DP-vs-single-device loss equivalence check."""
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -194,11 +195,13 @@ def test_fused_train_attention_tp_shard_map_parity():
                                    rtol=2e-4, atol=2e-5)
 
 
-def test_fused_relbias_attention_tp_shard_map_parity():
-    """The fully-fused relative-bias kernel under a (4,2) mesh: outputs and
-    q/k/v/e1/e2 grads must match the unsharded kernel (e1/e2 shard by head on
-    'model', the TP_RULES layout, so dE accumulates per local head group and
-    the replicated-mask cotangent psums across shards)."""
+@pytest.mark.parametrize("num_model", [2, 4])
+def test_fused_relbias_attention_tp_shard_map_parity(num_model):
+    """The fully-fused relative-bias kernel under (4,2) and (2,4) meshes:
+    outputs and q/k/v/e1/e2 grads must match the unsharded kernel (e1/e2
+    shard by head on 'model', the TP_RULES layout, so dE accumulates per
+    local head group and the replicated-mask cotangent psums across
+    shards; at model=4 each shard holds a single head)."""
     from vqcpcb_tpu.ops.pallas_attention import (
         fused_attention_train_relbias, fused_attention_train_relbias_tp)
 
@@ -211,7 +214,7 @@ def test_fused_relbias_attention_tp_shard_map_parity():
     e2 = jnp.asarray(rng.randn(h, s, d), jnp.float32)
     mask = jnp.asarray(np.triu(np.full((t, s), -1e9), 1), jnp.float32)
     seed = jnp.zeros((1,), jnp.int32)
-    mesh = mesh_lib.make_mesh(num_model=2)
+    mesh = mesh_lib.make_mesh(num_model=num_model)
 
     def loss_ref(q, k, v, e1, e2):
         out = fused_attention_train_relbias(

@@ -251,6 +251,7 @@ def _relbias_loss(q, k, v, mask, e1, e2, dropout=0.0, seed_val=0):
     (24, 24, "causal"),
     (32, 8, "anticausal_rect"),    # subsampled, ratio 4
     (16, 16, None),
+    (96, 96, "causal"),            # packed table spans two 128-lane tiles
 ])
 def test_relbias_fused_forward_matches_xla(t, s, mask_kind):
     """The in-kernel log-shift skew reproduces the XLA pad/reshape skew."""
