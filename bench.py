@@ -290,4 +290,21 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # noqa: BLE001
+        # The axon backend has shown multi-hour UNAVAILABLE windows
+        # (client creation raises after ~25 min of internal retries,
+        # CLAUDE.md). A crash here leaves the driver with NO JSON line at
+        # all — emit an honest error record instead so the failure mode is
+        # distinguishable from "bench never ran".
+        msg = f"{type(e).__name__}: {e}"
+        print(json.dumps({
+            "metric": "encoder_train_tokens_per_sec",
+            "value": 0,
+            "unit": "tokens/s",
+            "vs_baseline": 0,
+            "error": msg[:500],
+        }))
+        print(msg, file=sys.stderr)
+        sys.exit(1)
