@@ -259,6 +259,7 @@ def test_remat_composes_with_relbias_kernel(monkeypatch):
     want, gwant = jax.value_and_grad(loss)(params["params"])
 
     monkeypatch.setenv("VQCPCB_REMAT", "1")
+    monkeypatch.setenv("VQCPCB_PALLAS_BF16_DOTS", "0")  # exact-f32 dots
     monkeypatch.setattr(pa, "use_pallas_attention_train", lambda: True)
     monkeypatch.setattr(pa, "use_pallas_relbias", lambda: True)
     # the Mosaic CPU interpreter (InterpretParams) runs via an ordered-IO
