@@ -187,3 +187,28 @@ def test_main_prior_generate_through_decoder(workdir):
     assert r.exit_code == 0, r.output
     gen = prior_dir / "generations"
     assert gen.exists() and len(list(gen.iterdir())) >= 1
+
+
+def test_main_decoder_gqa_train_and_reharmonize(workdir):
+    """Grouped-query attention (n_head_kv) through the full CLI surface:
+    train, reload, reharmonise — the KV-cached sampler runs with
+    n_head/n_head_kv-fold smaller caches (tests/test_gqa.py proves the
+    bit-match; this drives the user-facing path)."""
+    from main_decoder import main as decoder_main
+    cfg = workdir / "configs" / "decoder_smoke.py"
+    gqa_cfg = workdir / "configs" / "decoder_gqa.py"
+    gqa_cfg.write_text(cfg.read_text().replace(
+        "n_head=2,", "n_head=2,\n        n_head_kv=1,"))
+    runner = CliRunner()
+    result = runner.invoke(
+        decoder_main,
+        ["-t", "-c", "configs/decoder_gqa.py", "--num_epochs", "1"],
+        catch_exceptions=False)
+    assert result.exit_code == 0, result.output
+    model_dir = workdir / "models" / os.listdir(workdir / "models")[0]
+    result = runner.invoke(
+        decoder_main,
+        ["-l", "-r", "-n", "1", "-c", str(model_dir / "config.py")],
+        catch_exceptions=False)
+    assert result.exit_code == 0, result.output
+    assert (model_dir / "reharmonisations").exists()

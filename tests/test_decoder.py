@@ -19,10 +19,11 @@ CODE_VOCAB = 5
 
 
 def make_decoder(transformer_type="relative", cross="anticausal",
-                 enc_attn="anticausal"):
+                 enc_attn="anticausal", n_head_kv=None):
     dp = BachDataProcessor(embedding_size=12, num_events=NUM_EVENTS,
                            num_tokens_per_channel=VOCABS)
     return Decoder(
+        n_head_kv=n_head_kv,
         data_processor=dp,
         transformer_type=transformer_type,
         encoder_attention_type=enc_attn,

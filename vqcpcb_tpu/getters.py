@@ -322,7 +322,8 @@ def get_decoder(dataloader_generator,
         dropout=decoder_kwargs["dropout"],
         total_upscaling=total_upscaling,
         source_vocab_size=source_vocab_size,
-        source_dim=source_dim)
+        source_dim=source_dim,
+        n_head_kv=decoder_kwargs.get("n_head_kv"))
 
 
 def get_prior(dataloader_generator,
@@ -350,4 +351,5 @@ def get_prior(dataloader_generator,
         embedding_size=prior_kwargs["embedding_size"],
         num_channels=num_channels,
         num_events=num_events,
-        dropout=prior_kwargs["dropout"])
+        dropout=prior_kwargs["dropout"],
+        n_head_kv=prior_kwargs.get("n_head_kv"))

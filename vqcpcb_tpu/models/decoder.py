@@ -18,7 +18,7 @@ decoder.py:777).
 """
 from __future__ import annotations
 
-from typing import Dict
+from typing import Dict, Optional
 
 import flax.linen as nn
 import jax
@@ -54,6 +54,10 @@ class Decoder(nn.Module):
     # uses NoQuantization (then the source is continuous z of dim source_dim)
     source_vocab_size: int = 0
     source_dim: int = 0
+    # GQA (beyond reference, ops/attention.py): K/V heads shared by groups
+    # of query heads — shrinks the sampler's KV caches (its bandwidth
+    # roofline) by n_head // n_head_kv. None = reference parity.
+    n_head_kv: Optional[int] = None
 
     def setup(self):
         assert self.encoder_attention_type in ("anticausal", "causal", "full")
@@ -107,12 +111,14 @@ class Decoder(nn.Module):
             num_channels=self.num_channels_encoder,
             num_events=self.num_events_encoder,
             dim_feedforward=self.dim_feedforward,
-            dropout=self.dropout)
+            dropout=self.dropout,
+            n_head_kv=self.n_head_kv)
 
         aligned = relative and self.cross_attention_type == "diagonal"
         layer_kwargs = dict(
             d_model=self.d_model,
             n_head=self.n_head,
+            n_head_kv=self.n_head_kv,
             attention_bias_type_self="relative_attention" if relative else None,
             num_channels_encoder=self.num_channels_encoder,
             num_events_encoder=self.num_events_encoder,

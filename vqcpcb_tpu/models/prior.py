@@ -7,7 +7,7 @@ head. Generation feeds sampled codes to Decoder.generate_from_code_long.
 """
 from __future__ import annotations
 
-from typing import Dict
+from typing import Dict, Optional
 
 import flax.linen as nn
 import jax
@@ -29,6 +29,7 @@ class PriorRelative(nn.Module):
     num_channels: int             # always 1 in the reference (prior_relative.py:60)
     num_events: int
     dropout: float
+    n_head_kv: Optional[int] = None   # GQA (ops/attention.py); None = parity
 
     @property
     def num_tokens(self) -> int:
@@ -47,6 +48,7 @@ class PriorRelative(nn.Module):
             attention_bias_type="relative_attention",
             num_channels=self.num_channels,
             num_events=self.num_events,
+            n_head_kv=self.n_head_kv,
             dim_feedforward=self.dim_feedforward,
             dropout=self.dropout)
         self.pre_softmax = nn.Dense(self.code_vocab_size)

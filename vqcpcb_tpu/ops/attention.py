@@ -36,6 +36,15 @@ class MultiheadAttention(nn.Module):
     attention_bias_type: None | 'relative_attention' |
       'relative_attention_target_source' (both relative types map to the same
       subsampled bias, reference :92-101).
+
+    num_kv_heads (beyond-reference, opt-in): grouped-query attention — K/V
+    get num_kv_heads heads shared by groups of num_heads//num_kv_heads query
+    heads (GQA; cf. attribute-specialised KV-head sharing for low-latency
+    symbolic music decoding, arXiv:2510.00395). Shrinks the sampler's KV
+    caches — its measured bandwidth roofline — by the group factor. None
+    (default) = one KV head per query head, bit-identical to the reference
+    parameterisation (the packed QKV kernel and checkpoint layout are
+    untouched; grouping adds a separate kv_proj instead).
     """
     embed_dim: int
     num_heads: int
@@ -45,9 +54,19 @@ class MultiheadAttention(nn.Module):
     num_channels_q: int = 1
     num_events_q: int = 1
     dropout: float = 0.0
+    num_kv_heads: Optional[int] = None
+
+    @property
+    def kv_heads(self) -> int:
+        return self.num_kv_heads or self.num_heads
+
+    @property
+    def grouped(self) -> bool:
+        return self.kv_heads != self.num_heads
 
     def setup(self):
         assert self.embed_dim % self.num_heads == 0
+        assert self.num_heads % self.kv_heads == 0
         head_dim = self.embed_dim // self.num_heads
 
         # kernel laid out (E, 3, H, hd) so tensor parallelism can shard the
@@ -57,12 +76,29 @@ class MultiheadAttention(nn.Module):
         # device (parallel/mesh.py TP_RULES). DenseGeneral initialises the
         # kernel through the flattened (E, 3E) shape, so the values are
         # bit-identical to the flat parameterisation this replaces.
-        self.in_proj = nn.DenseGeneral(
-            features=(3, self.num_heads, head_dim),
-            kernel_init=nn.initializers.xavier_uniform(),
-            bias_init=nn.initializers.zeros,
-            dtype=compute_dtype(),
-            name="in_proj")
+        if self.grouped:
+            # GQA: separate Q and (2, H_kv, hd) KV projections — the packed
+            # 3-way kernel only exists in the parity (ungrouped) layout
+            self.q_proj = nn.DenseGeneral(
+                features=(self.num_heads, head_dim),
+                kernel_init=nn.initializers.xavier_uniform(),
+                bias_init=nn.initializers.zeros,
+                dtype=compute_dtype(),
+                name="q_proj")
+            self.kv_proj = nn.DenseGeneral(
+                features=(2, self.kv_heads, head_dim),
+                kernel_init=nn.initializers.xavier_uniform(),
+                bias_init=nn.initializers.zeros,
+                dtype=compute_dtype(),
+                name="kv_proj")
+            self.in_proj = None
+        else:
+            self.in_proj = nn.DenseGeneral(
+                features=(3, self.num_heads, head_dim),
+                kernel_init=nn.initializers.xavier_uniform(),
+                bias_init=nn.initializers.zeros,
+                dtype=compute_dtype(),
+                name="in_proj")
         self.out_proj = nn.DenseGeneral(
             features=self.embed_dim,
             kernel_init=nn.initializers.xavier_uniform(),
@@ -92,12 +128,20 @@ class MultiheadAttention(nn.Module):
     def project_q(self, query: jnp.ndarray) -> jnp.ndarray:
         """(B, L, E) -> scaled q (B, H, L, hd)."""
         head_dim = self.embed_dim // self.num_heads
-        qkv = self.in_proj(query)                 # (B, L, 3, H, hd)
-        q = qkv[..., 0, :, :] * (head_dim ** -0.5)
+        if self.grouped:
+            q = self.q_proj(query) * (head_dim ** -0.5)   # (B, L, H, hd)
+        else:
+            qkv = self.in_proj(query)             # (B, L, 3, H, hd)
+            q = qkv[..., 0, :, :] * (head_dim ** -0.5)
         return q.transpose(0, 2, 1, 3)
 
     def project_kv(self, key: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """(B, S, E) -> k, v each (B, H, S, hd)."""
+        """(B, S, E) -> k, v each (B, H_kv, S, hd)."""
+        if self.grouped:
+            kv = self.kv_proj(key)                # (B, S, 2, H_kv, hd)
+            k = kv[..., 0, :, :].transpose(0, 2, 1, 3)
+            v = kv[..., 1, :, :].transpose(0, 2, 1, 3)
+            return k, v
         qkv = self.in_proj(key)                   # (B, S, 3, H, hd)
         k = qkv[..., 1, :, :].transpose(0, 2, 1, 3)
         v = qkv[..., 2, :, :].transpose(0, 2, 1, 3)
@@ -126,7 +170,7 @@ class MultiheadAttention(nn.Module):
 
         # opt-in fused Pallas path for inference (no dropout, no grad, no
         # attention-weight output): scores never leave VMEM
-        if not training:
+        if not training and not self.grouped:
             from vqcpcb_tpu.ops.pallas_attention import (
                 fused_attention, use_pallas_attention)
             if use_pallas_attention():
@@ -141,7 +185,7 @@ class MultiheadAttention(nn.Module):
         # e1/e2-gradient transpose run in-kernel (fused_attention_train_
         # relbias); otherwise the skew stays in XLA and its scatter-free
         # pad/reshape transpose carries the e1/e2 grads (pallas_attention.py)
-        if training:
+        if training and not self.grouped:
             from vqcpcb_tpu.ops.pallas_attention import (
                 NEG_BIG, fused_attention_train, fused_attention_train_relbias,
                 fused_attention_train_relbias_tp, fused_attention_train_tp,
@@ -199,8 +243,18 @@ class MultiheadAttention(nn.Module):
                 out = out.transpose(0, 2, 1, 3).reshape(b, t, h * d)
                 return self.out_proj(out.astype(query.dtype)), None
 
-        scores = jnp.einsum("bhtd,bhsd->bhts", q, k,
-                            preferred_element_type=jnp.float32)
+        if self.grouped:
+            # GQA: q heads grouped over the shared KV heads; scores keep the
+            # full (B, H, T, S) shape for mask/bias/dropout/visualisation
+            bq, hq, tq, hd = q.shape
+            g = self.num_heads // self.kv_heads
+            qg = q.reshape(bq, self.kv_heads, g, tq, hd)
+            scores = jnp.einsum("bkgtd,bksd->bkgts", qg, k,
+                                preferred_element_type=jnp.float32
+                                ).reshape(bq, hq, tq, k.shape[2])
+        else:
+            scores = jnp.einsum("bhtd,bhsd->bhts", q, k,
+                                preferred_element_type=jnp.float32)
         if attn_mask is not None:
             scores = scores + attn_mask[None, None]
         if self.e1 is not None:
@@ -208,8 +262,14 @@ class MultiheadAttention(nn.Module):
 
         weights = jax.nn.softmax(scores, axis=-1)
         weights = self.attn_dropout(weights, deterministic=not training)
-        out = jnp.einsum("bhts,bhsd->bhtd", weights.astype(v.dtype), v,
-                         preferred_element_type=jnp.float32)
+        if self.grouped:
+            wg = weights.reshape(bq, self.kv_heads, g, tq, -1)
+            out = jnp.einsum("bkgts,bksd->bkgtd", wg.astype(v.dtype), v,
+                             preferred_element_type=jnp.float32
+                             ).reshape(bq, hq, tq, hd)
+        else:
+            out = jnp.einsum("bhts,bhsd->bhtd", weights.astype(v.dtype), v,
+                             preferred_element_type=jnp.float32)
         b, h, t, d = out.shape
         out = out.transpose(0, 2, 1, 3).reshape(b, t, h * d).astype(query.dtype)
         out = self.out_proj(out)
@@ -242,8 +302,18 @@ class MultiheadAttention(nn.Module):
         # the same, BENCHMARKS.md); the step's real cost was the bias-row
         # gather, now a dynamic_slice (relative_attention.py)
         s = k_cache.shape[2]
-        scores = jnp.einsum("bhd,bhsd->bhs", q, k_cache,
-                            preferred_element_type=jnp.float32)
+        if self.grouped:
+            # GQA: caches hold H_kv heads — the step reads g-fold fewer
+            # cache bytes, the sampler's measured bandwidth limiter
+            bq, hq, hd = q.shape
+            g = self.num_heads // self.kv_heads
+            qg = q.reshape(bq, self.kv_heads, g, hd)
+            scores = jnp.einsum("bkgd,bksd->bkgs", qg, k_cache,
+                                preferred_element_type=jnp.float32
+                                ).reshape(bq, hq, s)
+        else:
+            scores = jnp.einsum("bhd,bhsd->bhs", q, k_cache,
+                                preferred_element_type=jnp.float32)
         if self.e1 is not None:
             # caches may be prefix-sized (chunked sampler): positions >= s are
             # causally masked anyway, so the bias row is simply truncated
@@ -253,8 +323,14 @@ class MultiheadAttention(nn.Module):
             key_len_mask = jnp.arange(s) <= t
         scores = jnp.where(key_len_mask[None, None], scores, -jnp.inf)
         weights = jax.nn.softmax(scores, axis=-1)
-        out = jnp.einsum("bhs,bhsd->bhd", weights.astype(v_cache.dtype),
-                         v_cache, preferred_element_type=jnp.float32)
+        if self.grouped:
+            wg = weights.reshape(bq, self.kv_heads, g, s)
+            out = jnp.einsum("bkgs,bksd->bkgd", wg.astype(v_cache.dtype),
+                             v_cache, preferred_element_type=jnp.float32
+                             ).reshape(bq, hq, hd)
+        else:
+            out = jnp.einsum("bhs,bhsd->bhd", weights.astype(v_cache.dtype),
+                             v_cache, preferred_element_type=jnp.float32)
         b, h, d = out.shape
         out = out.reshape(b, 1, h * d).astype(query_t.dtype)
         return self.out_proj(out)

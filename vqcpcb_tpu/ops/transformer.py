@@ -78,6 +78,7 @@ class TransformerEncoderLayer(nn.Module):
     dim_feedforward: int = 2048
     dropout: float = 0.1
     activation: str = "relu"
+    n_head_kv: Optional[int] = None     # GQA (attention.py); None = parity
 
     def setup(self):
         self.self_attn = MultiheadAttention(
@@ -88,7 +89,8 @@ class TransformerEncoderLayer(nn.Module):
             num_events_k=self.num_events,
             num_channels_q=self.num_channels,
             num_events_q=self.num_events,
-            dropout=self.dropout)
+            dropout=self.dropout,
+            num_kv_heads=self.n_head_kv)
         self.ff = FeedForward(self.d_model, self.dim_feedforward, self.dropout,
                               self.activation)
         self.norm1 = nn.LayerNorm(dtype=jnp.float32)
@@ -138,6 +140,7 @@ class TransformerEncoder(nn.Module):
     num_events: int
     dim_feedforward: int = 2048
     dropout: float = 0.1
+    n_head_kv: Optional[int] = None
 
     def setup(self):
         layer_cls = _maybe_remat(TransformerEncoderLayer)
@@ -150,6 +153,7 @@ class TransformerEncoder(nn.Module):
                 num_events=self.num_events,
                 dim_feedforward=self.dim_feedforward,
                 dropout=self.dropout,
+                n_head_kv=self.n_head_kv,
                 name=f"layer_{i}")
             for i in range(self.num_layers)]
 
@@ -179,6 +183,7 @@ class TransformerDecoderLayer(nn.Module):
     dim_feedforward: int = 2048
     dropout: float = 0.1
     activation: str = "relu"
+    n_head_kv: Optional[int] = None     # GQA (attention.py); None = parity
 
     def setup(self):
         self.self_attn = MultiheadAttention(
@@ -188,7 +193,8 @@ class TransformerDecoderLayer(nn.Module):
             num_events_k=self.num_events_decoder,
             num_channels_q=self.num_channels_decoder,
             num_events_q=self.num_events_decoder,
-            dropout=self.dropout)
+            dropout=self.dropout,
+            num_kv_heads=self.n_head_kv)
         self.multihead_attn = MultiheadAttention(
             embed_dim=self.d_model, num_heads=self.n_head,
             attention_bias_type=self.attention_bias_type_cross,
@@ -196,7 +202,8 @@ class TransformerDecoderLayer(nn.Module):
             num_events_k=self.num_events_encoder,
             num_channels_q=self.num_channels_decoder,
             num_events_q=self.num_events_decoder,
-            dropout=self.dropout)
+            dropout=self.dropout,
+            num_kv_heads=self.n_head_kv)
         self.ff = FeedForward(self.d_model, self.dim_feedforward, self.dropout,
                               self.activation)
         self.norm1 = nn.LayerNorm(dtype=jnp.float32)
@@ -259,6 +266,7 @@ class TransformerAlignedDecoderLayer(nn.Module):
     dim_feedforward: int = 2048
     dropout: float = 0.1
     activation: str = "relu"
+    n_head_kv: Optional[int] = None     # GQA (attention.py); None = parity
 
     def setup(self):
         self.self_attn = MultiheadAttention(
@@ -268,7 +276,8 @@ class TransformerAlignedDecoderLayer(nn.Module):
             num_events_k=self.num_events_decoder,
             num_channels_q=self.num_channels_decoder,
             num_events_q=self.num_events_decoder,
-            dropout=self.dropout)
+            dropout=self.dropout,
+            num_kv_heads=self.n_head_kv)
         self.cross_mlp_1 = nn.Dense(self.d_model * 2)
         self.cross_mlp_2 = nn.Dense(self.d_model * self.num_channels_decoder)
         self.ff = FeedForward(self.d_model, self.dim_feedforward, self.dropout,
