@@ -105,6 +105,49 @@ def test_tp_head_aligned_attention_specs_and_parity():
     np.testing.assert_allclose(out_tp, out_rep, rtol=2e-5, atol=2e-6)
 
 
+def test_tp_gqa_head_aligned_specs_and_parity():
+    """Grouped-query attention under TP: q_proj shards H, kv_proj shards
+    H_kv along the SAME contiguous head grouping (each query head's shared
+    KV head is on its device — parallel/mesh.py TP_RULES), and the sharded
+    forward matches the replicated one."""
+    import numpy as np
+
+    from vqcpcb_tpu.ops.attention import MultiheadAttention
+
+    mesh = mesh_lib.make_mesh(num_model=2, devices=jax.devices()[:4])
+    mha = MultiheadAttention(
+        embed_dim=32, num_heads=4, num_kv_heads=2,
+        attention_bias_type="relative_attention",
+        num_channels_k=4, num_events_k=8, num_channels_q=4, num_events_q=8)
+    x = jnp.asarray(np.random.RandomState(0).randn(4, 32, 32),
+                    dtype=jnp.float32)
+    params = mha.init(jax.random.PRNGKey(0), x, x, x)["params"]
+
+    assert params["q_proj"]["kernel"].shape == (32, 4, 8)
+    assert params["kv_proj"]["kernel"].shape == (32, 2, 2, 8)
+    sh = mesh_lib.params_shardings(params, mesh)
+    P = mesh_lib.P
+    assert sh["q_proj"]["kernel"].spec == P(None, "model", None)
+    assert sh["q_proj"]["bias"].spec == P("model", None)
+    assert sh["kv_proj"]["kernel"].spec == P(None, None, "model", None)
+    assert sh["kv_proj"]["bias"].spec == P(None, "model", None)
+    assert sh["rel_e1"].spec == P("model", None, None)
+    assert sh["out_proj"]["kernel"].spec == P("model", None)
+
+    sharded_params = mesh_lib.shard_params(params, mesh)
+    x_sharded = mesh_lib.shard_batch({"x": np.asarray(x)}, mesh)["x"]
+    fwd = jax.jit(lambda p, q: mha.apply({"params": p}, q, q, q)[0])
+    out_tp = jax.device_get(fwd(sharded_params, x_sharded))
+    out_rep = jax.device_get(mha.apply({"params": params}, x, x, x)[0])
+    np.testing.assert_allclose(out_tp, out_rep, rtol=2e-5, atol=2e-6)
+
+    # H_kv smaller than the model axis: kv_proj falls back to replication
+    mesh4 = mesh_lib.make_mesh(num_model=4)
+    sh4 = mesh_lib.params_shardings(params, mesh4)
+    assert sh4["kv_proj"]["kernel"].spec == P()
+    assert sh4["q_proj"]["kernel"].spec == P(None, "model", None)
+
+
 def test_tp_aligned_decoder_mesh_shapes_loss_identical():
     """(8,1) vs (4,2) mesh: the ALIGNED-layer decoder loss is identical, and
     the r3 TP rules really shard cross_mlp_1/2 + the pre_softmax heads."""

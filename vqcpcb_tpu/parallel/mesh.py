@@ -85,6 +85,17 @@ def shard_batch(batch, mesh: Mesh):
 # so the whole attention block runs without resharding until the out_proj
 # all-reduce.
 #
+# Grouped-query attention (num_kv_heads, ops/attention.py) keeps the head
+# alignment: q_proj (E, H, hd) shards H, kv_proj (E, 2, H_kv, hd) shards
+# H_kv, and because query head h reads KV head h // (H/H_kv) with BOTH axes
+# sharded in contiguous blocks, every query head's KV head lands on the same
+# device (device d owns q heads [d*H/m, (d+1)*H/m) and exactly their KV
+# heads [d*H_kv/m, (d+1)*H_kv/m)). The grouped einsums keep H_kv primal
+# ('bkgts'), so the (H -> H_kv, g) reshape splits the sharded axis without
+# resharding as long as H_kv % m == 0 (otherwise kv_proj falls back to
+# replication via the divisibility check below — still correct, GSPMD
+# reshards around it).
+#
 # The aligned decoder layer's cross MLP (ops/transformer.py cross_mlp_1/2)
 # is a second Megatron pair (the elu between them is elementwise, so the
 # column split holds through it), and the per-channel output heads
@@ -104,6 +115,10 @@ TP_RULES = [
     (re.compile(r".*linear2/kernel$"), P(MODEL_AXIS, None)),
     (re.compile(r".*in_proj/kernel$"), P(None, None, MODEL_AXIS, None)),
     (re.compile(r".*in_proj/bias$"), P(None, MODEL_AXIS, None)),
+    (re.compile(r".*q_proj/kernel$"), P(None, MODEL_AXIS, None)),
+    (re.compile(r".*q_proj/bias$"), P(MODEL_AXIS, None)),
+    (re.compile(r".*kv_proj/kernel$"), P(None, None, MODEL_AXIS, None)),
+    (re.compile(r".*kv_proj/bias$"), P(None, MODEL_AXIS, None)),
     (re.compile(r".*rel_e[12]$"), P(MODEL_AXIS, None, None)),
     (re.compile(r".*linear1/bias$"), P(MODEL_AXIS)),
     (re.compile(r".*out_proj/kernel$"), P(MODEL_AXIS, None)),
