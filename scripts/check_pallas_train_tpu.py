@@ -1,6 +1,7 @@
-"""Hardware check for the TRAINABLE fused attention kernels: runs the
-dropout tests the CPU interpreter cannot (it stubs prng_random_bits to
-zeros) plus the dropout-0 gradient parity, on the real chip.
+"""Hardware check for the TRAINABLE fused attention kernels: re-runs the
+dropout tests (counter-based hash masks since r4 — CPU-covered too, but the
+hardware run pins the compiled Mosaic lowering) plus the dropout-0 gradient
+parity, on the real chip.
 
 Sections: exact-f32 dots first (VQCPCB_PALLAS_BF16_DOTS=0, tight
 tolerances), then the shipping bf16-MXU-input default (loose tolerance +

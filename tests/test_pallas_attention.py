@@ -120,12 +120,12 @@ def test_fused_train_dropout_statistics():
     """In-kernel dropout zeroes ~rate of the weights and preserves the
     softmax row-mean in expectation (inverted scaling).
 
-    HARDWARE-ONLY: the Mosaic TPU interpreter stubs prng_random_bits to
-    zeros on CPU (probed; all bits 0), so dropout semantics can only be
-    checked on a real chip — scripts/check_pallas_train_tpu.py runs this
-    same function there."""
-    if jax.default_backend() != "tpu":
-        pytest.skip("in-kernel PRNG requires real TPU (interpreter stubs it)")
+    Runs everywhere since r4: the counter-based hash dropout
+    (_dropout_keep) uses no pltpu PRNG primitives, so the Mosaic
+    interpreter computes the exact hardware bits (the old stateful design
+    was interpreter-stubbed AND measured kernel-context-dependent on real
+    v5e — chain10 RB1). scripts/check_pallas_train_tpu.py re-runs this on
+    hardware."""
     from vqcpcb_tpu.ops.pallas_attention import fused_attention_train
     b, h, t, d = 2, 4, 32, 8
     q = jnp.zeros((b, h, t, d))
@@ -158,9 +158,7 @@ def test_fused_train_dropout_vjp_finite_difference():
     """With a fixed seed the dropped function is deterministic, so the
     custom VJP must agree with central finite differences.
 
-    HARDWARE-ONLY (see test_fused_train_dropout_statistics)."""
-    if jax.default_backend() != "tpu":
-        pytest.skip("in-kernel PRNG requires real TPU (interpreter stubs it)")
+    Runs everywhere since r4 (see test_fused_train_dropout_statistics)."""
     q, k, v, mask, e1, e2 = _inputs(t=16, s=16, s_src=16)
 
     def f(qq):
@@ -342,12 +340,14 @@ def test_inference_fused_attention_relbias_route(monkeypatch):
 def test_relbias_dropout_vjp_finite_difference():
     """Fixed-seed dropout through the fully-fused relative-bias kernel: the
     custom VJP must agree with central finite differences — this pins the
-    fwd/bwd in-kernel PRNG regeneration to the same per-grid-step seed
-    offset (seed + h*B + b under the (H, B) grid).
+    fwd/bwd mask regeneration to the same per-grid-step seed offset
+    (seed + h*B + b under the (H, B) grid).
 
-    HARDWARE-ONLY (see test_fused_train_dropout_statistics)."""
-    if jax.default_backend() != "tpu":
-        pytest.skip("in-kernel PRNG requires real TPU (interpreter stubs it)")
+    This exact check FAILED on real v5e under the old stateful
+    pltpu.prng_* design (chain10 RB1: fd 8.31 vs analytic 13.49 — the
+    fwd and bwd kernels got different bits for the same seed); the
+    counter-based hash makes it pass everywhere by construction. Runs
+    everywhere since r4 (see test_fused_train_dropout_statistics)."""
     q, k, v, mask, e1, e2 = _inputs(t=16, s=16, s_src=16)
 
     def f(qq):

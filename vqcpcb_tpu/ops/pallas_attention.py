@@ -123,8 +123,8 @@ def use_pallas_attention_train() -> bool:
 # relative_attention.py) so its gradient — returned as d(scores) — flows back
 # to e1/e2 through JAX's autodiff of the skew, whose transpose is
 # slice/reshape/pad (scatter-free). Attention-weight dropout runs in-kernel
-# (pltpu.prng_*); the backward kernel regenerates the identical mask from the
-# same per-grid-step seed.
+# via a counter-based hash (_dropout_keep); the backward kernel regenerates
+# the identical mask from the same per-grid-step seed.
 # =============================================================================
 
 import functools
@@ -145,9 +145,38 @@ def _dots_dtype():
     return jnp.float32
 
 
-def _dropout_keep(shape, rate):
-    """Regenerable in-kernel dropout mask: True = keep."""
-    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+def _hash_u32(x):
+    """lowbias32 integer finalizer (avalanching 32-bit hash); uint32
+    arithmetic wraps mod 2^32 in XLA/Mosaic, which is exactly what the
+    mixing steps rely on."""
+    x = x ^ (x >> np.uint32(16))
+    x = x * np.uint32(0x7FEB352D)
+    x = x ^ (x >> np.uint32(15))
+    x = x * np.uint32(0x846CA68B)
+    x = x ^ (x >> np.uint32(16))
+    return x
+
+
+def _dropout_keep(shape, rate, seed):
+    """Regenerable in-kernel dropout mask: True = keep.
+
+    Counter-based: each element's bits are a pure function of (seed,
+    position) via an avalanching integer hash — NO pltpu PRNG state. The
+    stateful pltpu.prng_seed/prng_random_bits design measured DIFFERENT
+    bits for the same seed in the fwd and bwd relbias kernels on real v5e
+    hardware (the bits are not a contract across distinct Mosaic kernels:
+    chain10 RB1, fd 8.31 vs analytic 13.49), silently decorrelating the
+    regenerated masks. A counter-based hash is bit-identical across
+    kernels AND across backends/interpreters by construction, which also
+    makes the dropout VJP testable on CPU.
+
+    seed: traced int32/uint32 scalar (base seed + grid-step offset)."""
+    t, s = shape
+    rows = jax.lax.broadcasted_iota(jnp.int32, shape, 0).astype(jnp.uint32)
+    cols = jax.lax.broadcasted_iota(jnp.int32, shape, 1).astype(jnp.uint32)
+    idx = rows * np.uint32(s) + cols
+    seed_h = _hash_u32(seed.astype(jnp.uint32) * np.uint32(0x9E3779B9))
+    bits = _hash_u32(idx ^ seed_h)
     threshold = np.uint32(min(int(round(rate * 2.0 ** 32)), 2 ** 32 - 1))
     return bits >= threshold
 
@@ -161,8 +190,8 @@ def _train_fwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, bias_ref,
     scores = scores + mask_ref[:] + bias_ref[0]
     w = jax.nn.softmax(scores, axis=-1)
     if dropout_rate > 0.0:
-        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
-        keep = _dropout_keep(w.shape, dropout_rate)
+        keep = _dropout_keep(w.shape, dropout_rate,
+                             seed_ref[0] + pl.program_id(0))
         w = jnp.where(keep, w * (1.0 / (1.0 - dropout_rate)), 0.0)
     out_ref[0] = jnp.dot(w.astype(dot_dtype), v,
                          preferred_element_type=jnp.float32
@@ -180,8 +209,8 @@ def _train_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, bias_ref,
     scores = scores + mask_ref[:] + bias_ref[0]
     w = jax.nn.softmax(scores, axis=-1)
     if dropout_rate > 0.0:
-        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
-        keep = _dropout_keep(w.shape, dropout_rate)
+        keep = _dropout_keep(w.shape, dropout_rate,
+                             seed_ref[0] + pl.program_id(0))
         inv = 1.0 / (1.0 - dropout_rate)
         w_drop = jnp.where(keep, w * inv, 0.0)
     else:
@@ -218,8 +247,8 @@ def _train_bwd_kernel_nobias(seed_ref, q_ref, k_ref, v_ref, mask_ref,
     scores = scores + mask_ref[:] + bias_ref[0]
     w = jax.nn.softmax(scores, axis=-1)
     if dropout_rate > 0.0:
-        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
-        keep = _dropout_keep(w.shape, dropout_rate)
+        keep = _dropout_keep(w.shape, dropout_rate,
+                             seed_ref[0] + pl.program_id(0))
         inv = 1.0 / (1.0 - dropout_rate)
         w_drop = jnp.where(keep, w * inv, 0.0)
     else:
@@ -274,8 +303,10 @@ def fused_attention_train(dropout_rate, interpret, seed, q, k, v, mask, bias):
 
 
 def _interpret_mode(interpret):
-    # the generic (HLO) interpreter lacks the TPU prng primitives; use the
-    # Mosaic TPU interpreter for CPU-side testing of the dropout kernels
+    # Use the Mosaic TPU interpreter (closer to hardware semantics than the
+    # generic HLO interpreter) for CPU-side testing. Since dropout moved to
+    # the counter-based hash (no pltpu PRNG primitives) the dropout kernels
+    # are fully faithful under interpretation too.
     return pltpu.InterpretParams() if interpret is True else interpret
 
 
@@ -454,10 +485,10 @@ def _relbias_fwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, e_ref,
     scores = scores + mask_ref[:] + bias
     w = jax.nn.softmax(scores, axis=-1)
     if dropout_rate > 0.0:
-        pltpu.prng_seed(seed_ref[0]
-                        + pl.program_id(0) * pl.num_programs(1)
-                        + pl.program_id(1))
-        keep = _dropout_keep(w.shape, dropout_rate)
+        keep = _dropout_keep(w.shape, dropout_rate,
+                             seed_ref[0]
+                             + pl.program_id(0) * pl.num_programs(1)
+                             + pl.program_id(1))
         w = jnp.where(keep, w * (1.0 / (1.0 - dropout_rate)), 0.0)
     out_ref[0] = jnp.dot(w.astype(dot_dtype), v,
                          preferred_element_type=jnp.float32
@@ -482,10 +513,10 @@ def _relbias_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, e_ref,
     scores = scores + mask_ref[:] + bias
     w = jax.nn.softmax(scores, axis=-1)
     if dropout_rate > 0.0:
-        pltpu.prng_seed(seed_ref[0]
-                        + pl.program_id(0) * pl.num_programs(1)
-                        + pl.program_id(1))
-        keep = _dropout_keep(w.shape, dropout_rate)
+        keep = _dropout_keep(w.shape, dropout_rate,
+                             seed_ref[0]
+                             + pl.program_id(0) * pl.num_programs(1)
+                             + pl.program_id(1))
         inv = 1.0 / (1.0 - dropout_rate)
         w_drop = jnp.where(keep, w * inv, 0.0)
     else:
