@@ -13,20 +13,40 @@
 # files written by the launcher instead of the script) — new chains should
 # source this file instead.
 
+_proc_start_jiffies() {  # _proc_start_jiffies <pid> — '' if the pid is gone.
+  # starttime is overall field 22 of /proc/pid/stat, but comm (field 2) may
+  # contain spaces — strip through the closing paren first.
+  sed 's/^.*) //' "/proc/$1/stat" 2>/dev/null | awk '{print $20}'
+}
+
 register_chain_pid() {  # register_chain_pid <pidfile>
-  echo $$ > "$1"
+  # pid + start-time: lets wait_for_chain detect pid reuse (a recycled pid
+  # would otherwise stall the follower indefinitely)
+  echo "$$ $(_proc_start_jiffies $$)" > "$1"
   trap 'rm -f '"$1" EXIT
 }
 
 wait_for_chain() {  # wait_for_chain <pidfile> — waits while that pid runs
-  local pidfile=$1
+  local pidfile=$1 grace=${CHAIN_WAIT_GRACE:-120} waited=0
+  # The pidfile is written by the earlier chain itself just after launch —
+  # poll briefly for it to appear so a follower that starts first doesn't
+  # misread "not written yet" as "already finished" (two concurrent chains
+  # = two axon TPU clients, the wedge CLAUDE.md warns about).
+  while [ ! -f "$pidfile" ] && [ "$waited" -lt "$grace" ]; do
+    sleep 5; waited=$((waited + 5))
+  done
   if [ ! -f "$pidfile" ]; then
-    echo "wait_for_chain: $pidfile absent — assuming that chain already finished"
+    echo "wait_for_chain: $pidfile absent after ${grace}s — assuming that chain already finished"
     return 0
   fi
-  local pid
-  pid=$(cat "$pidfile")
+  local pid start cur
+  read -r pid start < "$pidfile"
   while kill -0 "$pid" 2>/dev/null; do
+    cur=$(_proc_start_jiffies "$pid")
+    if [ -n "$start" ] && [ "$cur" != "$start" ]; then
+      echo "wait_for_chain: pid $pid start-time mismatch ($cur != $start) — stale pidfile, pid reused"
+      return 0
+    fi
     echo "chain $pid ($pidfile) still running; sleeping 300s"
     sleep 300
   done

@@ -178,6 +178,54 @@ def make_module() -> types.ModuleType:
     return m21
 
 
+class TransposeKeyErrorScore(Score):
+    """Mimics the real-music21 failure mode the reference tolerates
+    (chorale_dataset.py:172-174): the key analyzer raising KeyError while
+    building a TRANSPOSED score. Untransposed (semitone 0) access works."""
+
+    def transpose(self, interval):
+        if interval.semitones != 0:
+            raise KeyError(f"key analyzer failed at {interval.semitones}")
+        return super().transpose(interval)
+
+
+def make_messy_chorale(seed=23):
+    """A pickup-beat chorale (all voices start at offset 0.75, not 0) with
+    tie-like repeated pitches (music21 splits tied notes into consecutive
+    same-pitch Notes; the reference re-articulates each — no .tie handling,
+    chorale_dataset.py:297-321) and a mid-voice rest."""
+    import numpy as np
+
+    ranges = [(62, 76), (57, 69), (50, 62), (41, 57)]
+    rng = np.random.RandomState(seed)
+    num_beats = 9.75
+    parts = []
+    for lo, hi in ranges:
+        pitch = int(rng.randint(lo + 3, hi - 2))
+        events = []
+        offset = 0.75  # anacrusis: fractional lowestOffset
+        while offset < num_beats:
+            dur = float(rng.choice([0.25, 0.5, 1.0]))
+            dur = min(dur, num_beats - offset)
+            r = rng.rand()
+            if r < 0.08:
+                events.append(Rest(dur, offset))
+            else:
+                if r > 0.35:  # often repeat the pitch: tied-note shape
+                    pitch = int(np.clip(pitch + rng.randint(-3, 4), lo, hi))
+                events.append(Note(name_of_midi(pitch), dur, offset))
+            offset += dur
+        parts.append(events)
+    return Score(parts)
+
+
+def make_three_voice_chorale(seed=29):
+    """Non-4-voice score: the reference skips it (_is_valid,
+    chorale_dataset.py:396-398); corpora.Music21BachCorpus must too."""
+    score = make_test_chorales(num=1, seed=seed)[0]
+    return Score([[e for e in p.flat.elements] for p in score.parts[:3]])
+
+
 def make_test_chorales(num=3, seed=11):
     """Deterministic 4-voice scores with held notes, rests, mixed durations
     and SATB-ish ranges — enough variety to hit slur encoding, OOR clamping

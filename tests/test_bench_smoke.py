@@ -13,6 +13,7 @@ def test_bench_runs_and_prints_json(monkeypatch, capsys):
     monkeypatch.setenv("BENCH_GRU_HIDDEN", "16")
     monkeypatch.setenv("BENCH_STEPS", "2")
     monkeypatch.setenv("BENCH_WARMUP", "1")
+    monkeypatch.setenv("BENCH_CORPUS_STEPS", "8")
     import bench
     bench.main()
     out = capsys.readouterr().out.strip().splitlines()
@@ -21,12 +22,17 @@ def test_bench_runs_and_prints_json(monkeypatch, capsys):
     assert record["value"] > 0
     assert record["unit"] == "tokens/s"
     assert "vs_baseline" in record
-    assert "codebook_perplexity" in record
+    assert record["bench_version"] == 4
+    # v4 schema: the trained metric carries an unambiguous name (the r2/r3
+    # "codebook_perplexity" key conflated untrained/trained statistics)
+    assert record["trained_codebook_perplexity"] > 0
+    assert "trained_guard_ok" in record
 
 
 def test_bench_perplexity_present_without_trained_phase(monkeypatch, capsys):
-    """codebook_perplexity must stay in the JSON line when the corpus-trained
-    phase is disabled (fallback: timed-phase model on a held-out batch)."""
+    """a perplexity key must stay in the JSON line when the corpus-trained
+    phase is disabled — under the v4 fallback name (untrained: timed-phase
+    model on a held-out batch), never the trained one."""
     monkeypatch.setenv("BENCH_BATCH_SIZE", "16")
     monkeypatch.setenv("BENCH_GRU_HIDDEN", "16")
     monkeypatch.setenv("BENCH_STEPS", "2")
@@ -36,7 +42,8 @@ def test_bench_perplexity_present_without_trained_phase(monkeypatch, capsys):
     import bench
     bench.main()
     record = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert record["codebook_perplexity"] > 0
+    assert record["untrained_codebook_perplexity"] > 0
+    assert "trained_codebook_perplexity" not in record
     assert "trained_guard_ok" not in record
 
 

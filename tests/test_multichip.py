@@ -137,6 +137,15 @@ def test_tp_gqa_head_aligned_specs_and_parity():
     sharded_params = mesh_lib.shard_params(params, mesh)
     x_sharded = mesh_lib.shard_batch({"x": np.asarray(x)}, mesh)["x"]
     fwd = jax.jit(lambda p, q: mha.apply({"params": p}, q, q, q)[0])
+    # output parity is a sanity check only — GSPMD produces correct numerics
+    # under ANY specs by inserting reshards. The head-alignment claim lives
+    # in the compiled HLO: with each query head's shared KV head placed on
+    # its own device, the attention needs NO gather collectives (only the
+    # out_proj row-parallel all-reduce); a wrong kv grouping would surface
+    # as all-gathers here.
+    hlo = fwd.lower(sharded_params, x_sharded).compile().as_text()
+    assert "all-gather" not in hlo, "unexpected gather: TP rule misaligned"
+    assert "all-to-all" not in hlo
     out_tp = jax.device_get(fwd(sharded_params, x_sharded))
     out_rep = jax.device_get(mha.apply({"params": params}, x, x, x)[0])
     np.testing.assert_allclose(out_tp, out_rep, rtol=2e-5, atol=2e-6)

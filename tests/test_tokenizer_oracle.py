@@ -113,6 +113,83 @@ def test_window_tensors_bit_match_reference(reference_chorale_dataset):
     np.testing.assert_array_equal(ours, ref_windows.astype(ours.dtype))
 
 
+def test_tolerance_branches_bit_match_reference(reference_chorale_dataset,
+                                                capsys):
+    """The reference's tolerance branches, exercised end-to-end on both sides
+    (VERDICT r3 missing #1 — the cheapest insurance for real-music21 deploys):
+
+      * non-4-voice chorale -> skipped (_is_valid, chorale_dataset.py:396-398
+        vs corpora.Music21BachCorpus.__iter__, corpora.py:135)
+      * KeyError during transposition -> that (score, semitone)'s windows are
+        dropped, the rest of the dataset builds on (chorale_dataset.py:172-174
+        vs tokenizer.make_window_dataset's per-semitone skip)
+      * messy scores: pickup beat (fractional lowestOffset), tie-like repeated
+        pitches, mid-voice rests -> bit-identical windows
+    """
+    ref_chorale_mod, m21fake = reference_chorale_dataset
+    sequences_size, subdivision = 8, 4
+    base = m21fake.make_test_chorales(num=2)
+    corrupt = m21fake.TransposeKeyErrorScore(
+        [[e for e in p.flat.elements] for p in
+         m21fake.make_test_chorales(num=1, seed=17)[0].parts])
+    chorales = [base[0], m21fake.make_three_voice_chorale(),
+                m21fake.make_messy_chorale(), corrupt, base[1]]
+
+    def corpus_gen():
+        return iter(chorales)
+
+    small = ref_chorale_mod.ChoraleBeatsDataset(
+        corpus_it_gen=corpus_gen, voice_ids=[0, 1, 2, 3], metadatas=[],
+        sequences_size=1, subdivision=subdivision, load_indices=False)
+    small._compute_index_dicts()
+    small._compute_voice_ranges()
+    small._make_tensor_dataset()
+
+    main = ref_chorale_mod.ChoraleBeatsDataset(
+        corpus_it_gen=corpus_gen, voice_ids=[0, 1, 2, 3], metadatas=[],
+        sequences_size=sequences_size, subdivision=subdivision,
+        load_indices=False)
+    main.index2note_dicts = small.index2note_dicts
+    main.note2index_dicts = small.note2index_dicts
+    main.voice_ranges = small.voice_ranges
+    sizes_before = [len(d) for d in main.note2index_dicts]
+    ref_windows = main._make_tensor_dataset().tensors[0].numpy()
+    assert sizes_before == [len(d) for d in main.note2index_dicts]
+    ref_out = capsys.readouterr().out
+    # the KeyError branch must actually have fired on the reference side
+    # (chorale_id enumerates the _is_valid-FILTERED iterator, so the corrupt
+    # chorale is index 2 there: the 3-voice one is already gone)
+    assert "KeyError with chorale 2" in ref_out, ref_out[-2000:]
+
+    # ---- our side: the ADAPTER's own corpus iteration (so the non-4-voice
+    # skip decision is made by corpora.py, not by the test)
+    import types
+
+    import music21  # the fixture-installed fake
+
+    music21.corpus.chorales = types.SimpleNamespace(
+        Iterator=lambda: iter(chorales))
+    from vqcpcb_tpu.data.corpora import Music21BachCorpus
+    from vqcpcb_tpu.data.tokenizer import make_window_dataset
+    from vqcpcb_tpu.data.vocab import Vocabulary
+
+    adapter = Music21BachCorpus(num_voices=4)
+    neutral_scores = list(adapter)
+    assert len(neutral_scores) == len(chorales) - 1  # 3-voice chorale skipped
+
+    vocab = Vocabulary(
+        note2index_dicts=[dict(d) for d in main.note2index_dicts],
+        voice_ranges=[tuple(r) for r in main.voice_ranges])
+    ours = make_window_dataset(neutral_scores, vocab,
+                               sequences_size=sequences_size,
+                               subdivision=subdivision)
+    our_out = capsys.readouterr().out
+    assert "skipping its windows" in our_out, our_out[-2000:]
+
+    assert ours.shape == ref_windows.shape, (ours.shape, ref_windows.shape)
+    np.testing.assert_array_equal(ours, ref_windows.astype(ours.dtype))
+
+
 def test_detokenization_roundtrip_on_reference_vocab(reference_chorale_dataset):
     """tensor->events detokenization on a reference-built window recovers
     note names/offsets/durations consistent with slur semantics

@@ -274,13 +274,28 @@ def make_window_dataset(scores: Iterable[NeutralScore],
         semis = np.array([j[0] for j in jobs])
         starts = np.array([j[1] for j in jobs], dtype=np.int64)
         out = np.empty((len(jobs), num_voices, window_len), dtype=np.int32)
+        keep = np.ones(len(jobs), dtype=bool)
         for semi_tone in np.unique(semis):
-            ticks = score_to_ticks(score.transpose(int(semi_tone)),
-                                   vocab, subdivision)
             sel = semis == semi_tone
+            try:
+                ticks = score_to_ticks(score.transpose(int(semi_tone)),
+                                       vocab, subdivision)
+            except KeyError as exc:
+                # reference tolerance branch (chorale_dataset.py:172-174):
+                # real music21 scores can blow up during transposition (the
+                # key analyzer raises KeyError on messy chorales). The
+                # reference catches it per window; since it caches tensors
+                # per transposition, the net effect is that every window of
+                # this (score, semitone) is dropped while the rest of the
+                # dataset builds on — replicate exactly that.
+                print(f"KeyError {exc!r} transposing score by {semi_tone} "
+                      "semitones; skipping its windows")
+                keep[sel] = False
+                continue
             out[sel] = extract_windows_batch(
                 ticks.astype(np.int32), starts[sel], window_len, vocab)
-        all_windows.append(out)
+        if keep.any():
+            all_windows.append(out[keep])
     return np.concatenate(all_windows, axis=0).astype(np.int32)
 
 
