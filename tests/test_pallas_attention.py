@@ -154,23 +154,59 @@ def test_fused_train_dropout_statistics():
     np.testing.assert_array_equal(got, np.asarray(out2))
 
 
+def _xla_dropout_replica_loss(q, k, v, mask, e1, e2, rate, seed_val):
+    """The dropped forward rebuilt in plain XLA with the SAME keep bits
+    (_dropout_keep is a pure function, so this is exact, not statistical) —
+    jax.grad through it is autodiff ground truth for the custom VJP."""
+    from vqcpcb_tpu.ops.pallas_attention import NEG_BIG, _dropout_keep
+    b, h, t, d = q.shape
+    s = k.shape[2]
+    keep = jnp.stack([
+        _dropout_keep((t, s), rate, jnp.asarray(seed_val + gi, jnp.int32))
+        for gi in range(b * h)]).reshape(b, h, t, s)
+    mask_f = jnp.maximum(mask.astype(jnp.float32), NEG_BIG)
+    scores = jnp.einsum("bhtd,bhsd->bhts", q, k,
+                        preferred_element_type=jnp.float32)
+    scores = scores + mask_f[None, None]
+    scores = scores + subsampled_relative_bias(q, e1, e2)
+    w = jax.nn.softmax(scores, axis=-1)
+    w = jnp.where(keep, w * (1.0 / (1.0 - rate)), 0.0)
+    out = jnp.einsum("bhts,bhsd->bhtd", w, v)
+    return (out * jnp.cos(jnp.arange(out.size).reshape(out.shape))).sum()
+
+
 def test_fused_train_dropout_vjp_finite_difference():
     """With a fixed seed the dropped function is deterministic, so the
-    custom VJP must agree with central finite differences.
+    custom VJP must agree with (a) jax.grad through an exact plain-XLA
+    replica of the dropped forward — the sharp check — and (b) central
+    finite differences.
 
-    Runs everywhere since r4 (see test_fused_train_dropout_statistics)."""
+    The fd check runs under jax.default_matmul_precision('float32'):
+    on TPU the DEFAULT precision feeds f32 matmuls bf16 inputs, so a 1e-3
+    perturbation drowns in input rounding and the fd quotient is noise
+    (chain12 RB1: fd 13.36 vs analytic 16.84 — while the analytic grad was
+    BIT-IDENTICAL to the XLA replica's; the kernels were right, the probe
+    was broken). Runs everywhere since r4."""
     q, k, v, mask, e1, e2 = _inputs(t=16, s=16, s_src=16)
 
-    def f(qq):
-        return _fused_train_loss(qq, k, v, mask, e1, e2, dropout=0.3,
-                                 seed_val=3)
+    with jax.default_matmul_precision("float32"):
+        def f(qq):
+            return _fused_train_loss(qq, k, v, mask, e1, e2, dropout=0.3,
+                                     seed_val=3)
 
-    g = jax.grad(f)(q)
-    rng = np.random.RandomState(5)
-    u = jnp.asarray(rng.randn(*q.shape).astype(np.float32))
-    eps = 1e-3
-    fd = (float(f(q + eps * u)) - float(f(q - eps * u))) / (2 * eps)
-    analytic = float((g * u).sum())
+        def f_xla(qq):
+            return _xla_dropout_replica_loss(qq, k, v, mask, e1, e2,
+                                             rate=0.3, seed_val=3)
+
+        g = jax.grad(f)(q)
+        g_xla = jax.grad(f_xla)(q)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(g_xla),
+                                   rtol=2e-4, atol=2e-5)
+        rng = np.random.RandomState(5)
+        u = jnp.asarray(rng.randn(*q.shape).astype(np.float32))
+        eps = 1e-3
+        fd = (float(f(q + eps * u)) - float(f(q - eps * u))) / (2 * eps)
+        analytic = float((g * u).sum())
     assert abs(fd - analytic) < 5e-2 * max(1.0, abs(analytic)), (fd, analytic)
 
 
@@ -339,27 +375,54 @@ def test_inference_fused_attention_relbias_route(monkeypatch):
 
 def test_relbias_dropout_vjp_finite_difference():
     """Fixed-seed dropout through the fully-fused relative-bias kernel: the
-    custom VJP must agree with central finite differences — this pins the
-    fwd/bwd mask regeneration to the same per-grid-step seed offset
-    (seed + h*B + b under the (H, B) grid).
+    custom VJP must agree with jax.grad through an exact plain-XLA replica
+    (same keep bits at the kernel's seed offset — h*B + b under the (H, B)
+    grid) and with central finite differences.
 
-    This exact check FAILED on real v5e under the old stateful
-    pltpu.prng_* design (chain10 RB1: fd 8.31 vs analytic 13.49 — the
-    fwd and bwd kernels got different bits for the same seed); the
-    counter-based hash makes it pass everywhere by construction. Runs
-    everywhere since r4 (see test_fused_train_dropout_statistics)."""
+    This exact fd check FAILED on real v5e twice for two different reasons:
+    the old stateful pltpu.prng_* design genuinely decorrelated the fwd/bwd
+    masks (chain10 RB1, fd 8.31 vs analytic 13.49), and after the
+    counter-hash rewrite the PROBE itself was broken — TPU default matmul
+    precision feeds bf16 inputs, so 1e-3 perturbations drown in rounding
+    (chain12 RB1; the analytic grad was bit-identical to the XLA replica).
+    Hence the f32-precision context + the replica comparison."""
     q, k, v, mask, e1, e2 = _inputs(t=16, s=16, s_src=16)
+    b, h = q.shape[:2]
 
-    def f(qq):
-        return _relbias_loss(qq, k, v, mask, e1, e2, dropout=0.3,
-                             seed_val=3)[1]
+    with jax.default_matmul_precision("float32"):
+        def f(qq):
+            return _relbias_loss(qq, k, v, mask, e1, e2, dropout=0.3,
+                                 seed_val=3)[1]
 
-    g = jax.grad(f)(q)
-    rng = np.random.RandomState(5)
-    u = jnp.asarray(rng.randn(*q.shape).astype(np.float32))
-    eps = 1e-3
-    fd = (float(f(q + eps * u)) - float(f(q - eps * u))) / (2 * eps)
-    analytic = float((g * u).sum())
+        def f_xla(qq):
+            from vqcpcb_tpu.ops.pallas_attention import (
+                NEG_BIG, _dropout_keep)
+            t_, s_ = qq.shape[2], k.shape[2]
+            keep = jnp.stack([
+                _dropout_keep((t_, s_), 0.3,
+                              jnp.asarray(3 + hi * b + bi, jnp.int32))
+                for hi in range(h) for bi in range(b)]
+            ).reshape(h, b, t_, s_).transpose(1, 0, 2, 3)
+            mask_f = jnp.maximum(mask.astype(jnp.float32), NEG_BIG)
+            scores = jnp.einsum("bhtd,bhsd->bhts", qq, k,
+                                preferred_element_type=jnp.float32)
+            scores = scores + mask_f[None, None]
+            scores = scores + subsampled_relative_bias(qq, e1, e2)
+            w = jax.nn.softmax(scores, axis=-1)
+            w = jnp.where(keep, w / 0.7, 0.0)
+            out = jnp.einsum("bhts,bhsd->bhtd", w, v)
+            return (out * jnp.cos(jnp.arange(out.size).reshape(out.shape))
+                    ).sum()
+
+        g = jax.grad(f)(q)
+        g_xla = jax.grad(f_xla)(q)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(g_xla),
+                                   rtol=2e-4, atol=2e-5)
+        rng = np.random.RandomState(5)
+        u = jnp.asarray(rng.randn(*q.shape).astype(np.float32))
+        eps = 1e-3
+        fd = (float(f(q + eps * u)) - float(f(q - eps * u))) / (2 * eps)
+        analytic = float((g * u).sum())
     assert abs(fd - analytic) < 5e-2 * max(1.0, abs(analytic)), (fd, analytic)
 
 
