@@ -91,12 +91,26 @@ def main():
             0, 30, size=(batch_size, 4, 3, 4, 4)).astype(np.int32),
     }
     trainer.init_state(batch, lr=1e-3, initialize=True)
+    state0 = jax.device_get(trainer.state)
     sharded = mesh_lib.shard_batch(batch, mesh)
     trainer._rng, step_rng = jax.random.split(trainer._rng)
     trainer.state, metrics = trainer._train_step(
         trainer.state, sharded, step_rng)
     loss = float(jax.device_get(metrics["loss"]))
     assert np.isfinite(loss), loss
+
+    # --- 3. per-host feeding: shard_batch_local with ONLY this process's
+    # rows must reproduce the full-batch step bit-for-bit (same initial
+    # state, same rng) — the pod-scale input path where each host runs its
+    # own dataloader shard.
+    pi = jax.process_index()
+    rows = batch_size // jax.process_count()
+    local = {k: v[pi * rows:(pi + 1) * rows] for k, v in batch.items()}
+    sharded_local = mesh_lib.shard_batch_local(local, mesh)
+    _, metrics_local = trainer._train_step(
+        mesh_lib.place_state(state0, mesh), sharded_local, step_rng)
+    loss_local = float(jax.device_get(metrics_local["loss"]))
+    np.testing.assert_allclose(loss_local, loss, rtol=1e-6)
 
     print(f"MULTIHOST_OK {jax.process_index()} {loss:.6f}", flush=True)
 

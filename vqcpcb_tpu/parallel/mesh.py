@@ -70,6 +70,34 @@ def shard_batch(batch, mesh: Mesh):
     return jax.tree.map(place, batch)
 
 
+def shard_batch_local(batch, mesh: Mesh):
+    """Multi-host twin of shard_batch: each process passes ONLY the batch
+    rows it hosts (its process_index-ordered slice of the global leading
+    axis). On a pod this lets every host run its own dataloader shard
+    instead of materialising the global batch everywhere and shipping
+    (process_count-1)/process_count of it over DCN for nothing.
+
+    Arrays whose GLOBAL leading dim would not divide the data axis must be
+    identical on all hosts and are replicated, as in shard_batch.
+    Single-process: identical to shard_batch."""
+    if jax.process_count() == 1:
+        return shard_batch(batch, mesh)
+    sharded = batch_sharding(mesh)
+    rep = replicated(mesh)
+    n_data = mesh.shape[DATA_AXIS]
+    n_proc = jax.process_count()
+
+    def place(x):
+        x = np.asarray(x)
+        global_rows = x.shape[0] * n_proc if np.ndim(x) >= 1 else 0
+        if np.ndim(x) >= 1 and global_rows % n_data == 0:
+            return jax.make_array_from_process_local_data(
+                sharded, x, (global_rows,) + x.shape[1:])
+        return jax.device_put(x, rep)
+
+    return jax.tree.map(place, batch)
+
+
 # ---- tensor-parallel parameter rules ----------------------------------------
 
 # path-regex -> PartitionSpec; first match wins. Megatron split: the FFN and
