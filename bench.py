@@ -104,9 +104,11 @@ def main():
     tokens_per_batch = (2 * batch_size * ticks_lr * 4
                         + batch_size * num_neg * num_blocks * ticks_block * 4)
 
-    # lr matches the trained-metrics phase below so its re-init hits the XLA
-    # compile cache (the optimizer lr is a baked constant in the step HLO);
-    # the timed phase only measures throughput, so the lr is otherwise free
+    # the timed phase only measures throughput, so the lr is free; since v4
+    # the quality phase below trains a DIFFERENT model (EMA quantizer, qw
+    # 0.25), so its steps compile separately — a one-time cost amortised by
+    # the persistent compile cache (VQCPCB_COMPILE_CACHE), not a cache hit
+    # on this program
     trainer.init_state(jax.device_get(batches[0]), lr=1e-3)
 
     def step(i):
@@ -301,7 +303,11 @@ def main():
             from __graft_entry__ import _flagship_decoder
             from vqcpcb_tpu.models.decoder import Decoder
 
-            sbatch = int(os.environ.get("BENCH_SAMPLER_BATCH", "64"))
+            # shipping configuration = the best verified production point:
+            # batch 256, full KV heads, bf16 KV caches, chunked prefixes
+            # (chain13 Q1-Q4: GQA's 4x-smaller caches win +21% at batch 64
+            # but lose at 256, where full heads reach 259.6K tokens/s)
+            sbatch = int(os.environ.get("BENCH_SAMPLER_BATCH", "256"))
             decoder = _flagship_decoder()
             src = jnp.asarray(rng.randint(0, 16, size=(sbatch, 24)))
             toks = jnp.zeros((sbatch, 96, 4), dtype=jnp.int32)
@@ -322,6 +328,7 @@ def main():
             s_elapsed = (time.perf_counter() - t0) / reps
             record["decoder_sample_tokens_per_sec"] = round(
                 sbatch * n_tok / s_elapsed, 1)
+            record["decoder_sample_batch"] = sbatch
         except Exception as exc:
             print(f"# decoder sampling bench failed: {exc!r}", file=sys.stderr)
 

@@ -154,16 +154,14 @@ def test_fused_train_dropout_statistics():
     np.testing.assert_array_equal(got, np.asarray(out2))
 
 
-def _xla_dropout_replica_loss(q, k, v, mask, e1, e2, rate, seed_val):
+def _xla_dropout_replica_loss(q, k, v, mask, e1, e2, rate, keep):
     """The dropped forward rebuilt in plain XLA with the SAME keep bits
     (_dropout_keep is a pure function, so this is exact, not statistical) —
-    jax.grad through it is autodiff ground truth for the custom VJP."""
-    from vqcpcb_tpu.ops.pallas_attention import NEG_BIG, _dropout_keep
-    b, h, t, d = q.shape
-    s = k.shape[2]
-    keep = jnp.stack([
-        _dropout_keep((t, s), rate, jnp.asarray(seed_val + gi, jnp.int32))
-        for gi in range(b * h)]).reshape(b, h, t, s)
+    jax.grad through it is autodiff ground truth for the custom VJP.
+    `keep` is precomputed (b, h, t, s) because the two kernel families map
+    grid steps to seed offsets differently (b-major vs the relbias (H, B)
+    grid's h-major)."""
+    from vqcpcb_tpu.ops.pallas_attention import NEG_BIG
     mask_f = jnp.maximum(mask.astype(jnp.float32), NEG_BIG)
     scores = jnp.einsum("bhtd,bhsd->bhts", q, k,
                         preferred_element_type=jnp.float32)
@@ -187,7 +185,14 @@ def test_fused_train_dropout_vjp_finite_difference():
     (chain12 RB1: fd 13.36 vs analytic 16.84 — while the analytic grad was
     BIT-IDENTICAL to the XLA replica's; the kernels were right, the probe
     was broken). Runs everywhere since r4."""
+    from vqcpcb_tpu.ops.pallas_attention import _dropout_keep
     q, k, v, mask, e1, e2 = _inputs(t=16, s=16, s_src=16)
+    b, h, tt, _ = q.shape
+    s = k.shape[2]
+    # plain kernel: (b*h,) grid, b-major seed offsets
+    keep = jnp.stack([
+        _dropout_keep((tt, s), 0.3, jnp.asarray(3 + gi, jnp.int32))
+        for gi in range(b * h)]).reshape(b, h, tt, s)
 
     with jax.default_matmul_precision("float32"):
         def f(qq):
@@ -196,7 +201,7 @@ def test_fused_train_dropout_vjp_finite_difference():
 
         def f_xla(qq):
             return _xla_dropout_replica_loss(qq, k, v, mask, e1, e2,
-                                             rate=0.3, seed_val=3)
+                                             rate=0.3, keep=keep)
 
         g = jax.grad(f)(q)
         g_xla = jax.grad(f_xla)(q)
@@ -386,8 +391,15 @@ def test_relbias_dropout_vjp_finite_difference():
     precision feeds bf16 inputs, so 1e-3 perturbations drown in rounding
     (chain12 RB1; the analytic grad was bit-identical to the XLA replica).
     Hence the f32-precision context + the replica comparison."""
+    from vqcpcb_tpu.ops.pallas_attention import _dropout_keep
     q, k, v, mask, e1, e2 = _inputs(t=16, s=16, s_src=16)
-    b, h = q.shape[:2]
+    b, h, tt, _ = q.shape
+    s = k.shape[2]
+    # relbias kernel: (H, B) grid, h-major seed offsets
+    keep = jnp.stack([
+        _dropout_keep((tt, s), 0.3, jnp.asarray(3 + hi * b + bi, jnp.int32))
+        for hi in range(h) for bi in range(b)]
+    ).reshape(h, b, tt, s).transpose(1, 0, 2, 3)
 
     with jax.default_matmul_precision("float32"):
         def f(qq):
@@ -395,24 +407,8 @@ def test_relbias_dropout_vjp_finite_difference():
                                  seed_val=3)[1]
 
         def f_xla(qq):
-            from vqcpcb_tpu.ops.pallas_attention import (
-                NEG_BIG, _dropout_keep)
-            t_, s_ = qq.shape[2], k.shape[2]
-            keep = jnp.stack([
-                _dropout_keep((t_, s_), 0.3,
-                              jnp.asarray(3 + hi * b + bi, jnp.int32))
-                for hi in range(h) for bi in range(b)]
-            ).reshape(h, b, t_, s_).transpose(1, 0, 2, 3)
-            mask_f = jnp.maximum(mask.astype(jnp.float32), NEG_BIG)
-            scores = jnp.einsum("bhtd,bhsd->bhts", qq, k,
-                                preferred_element_type=jnp.float32)
-            scores = scores + mask_f[None, None]
-            scores = scores + subsampled_relative_bias(qq, e1, e2)
-            w = jax.nn.softmax(scores, axis=-1)
-            w = jnp.where(keep, w / 0.7, 0.0)
-            out = jnp.einsum("bhts,bhsd->bhtd", w, v)
-            return (out * jnp.cos(jnp.arange(out.size).reshape(out.shape))
-                    ).sum()
+            return _xla_dropout_replica_loss(qq, k, v, mask, e1, e2,
+                                             rate=0.3, keep=keep)
 
         g = jax.grad(f)(q)
         g_xla = jax.grad(f_xla)(q)

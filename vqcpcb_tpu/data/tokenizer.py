@@ -294,8 +294,7 @@ def make_window_dataset(scores: Iterable[NeutralScore],
                 continue
             out[sel] = extract_windows_batch(
                 ticks.astype(np.int32), starts[sel], window_len, vocab)
-        if keep.any():
-            all_windows.append(out[keep])
+        all_windows.append(out[keep])
     return np.concatenate(all_windows, axis=0).astype(np.int32)
 
 

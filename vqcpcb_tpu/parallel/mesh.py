@@ -77,23 +77,35 @@ def shard_batch_local(batch, mesh: Mesh):
     instead of materialising the global batch everywhere and shipping
     (process_count-1)/process_count of it over DCN for nothing.
 
-    Arrays whose GLOBAL leading dim would not divide the data axis must be
-    identical on all hosts and are replicated, as in shard_batch.
-    Single-process: identical to shard_batch."""
+    Every leaf is treated as per-host rows; the implied global leading dim
+    (local rows x process_count) must divide the data axis. A non-dividing
+    leaf raises instead of falling back to replication: each host holds
+    DIFFERENT rows here, so a per-host device_put under a replicated spec
+    would build a "replicated" array with different values on each host and
+    silently diverge the SPMD step. Arrays that really are identical
+    everywhere (stray last batches, tiny eval batches) belong in
+    shard_batch. Single-process: identical to shard_batch."""
     if jax.process_count() == 1:
         return shard_batch(batch, mesh)
     sharded = batch_sharding(mesh)
-    rep = replicated(mesh)
     n_data = mesh.shape[DATA_AXIS]
     n_proc = jax.process_count()
 
     def place(x):
         x = np.asarray(x)
-        global_rows = x.shape[0] * n_proc if np.ndim(x) >= 1 else 0
-        if np.ndim(x) >= 1 and global_rows % n_data == 0:
-            return jax.make_array_from_process_local_data(
-                sharded, x, (global_rows,) + x.shape[1:])
-        return jax.device_put(x, rep)
+        if np.ndim(x) < 1:
+            raise ValueError(
+                "shard_batch_local leaves must have a leading batch axis; "
+                "use shard_batch for host-identical scalars")
+        global_rows = x.shape[0] * n_proc
+        if global_rows % n_data != 0:
+            raise ValueError(
+                f"global rows {global_rows} (= {x.shape[0]} local x "
+                f"{n_proc} processes) do not divide the data axis "
+                f"{n_data}; pad the batch or use shard_batch with the "
+                "full host-identical batch")
+        return jax.make_array_from_process_local_data(
+            sharded, x, (global_rows,) + x.shape[1:])
 
     return jax.tree.map(place, batch)
 
