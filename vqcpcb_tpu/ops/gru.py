@@ -25,16 +25,16 @@ import jax.numpy as jnp
 def _project_in_scan() -> bool:
     """Where the input projection x @ W_i runs (read at trace time).
 
-    'hoist' (default): one big (N*T, in) @ (in, 3h) MXU matmul before the
-    scan — fewest launches, but materialises the (.., T, 3h) projected
-    sequence through HBM (3h/in times the bytes of x; ~434 MB per layer at
-    the bench geometry).
-    VQCPCB_GRU_PROJ=scan: project per step inside the scan body — the scan
-    reads x directly and the projected tensor never exists; per-step matmuls
-    at these row counts (hundreds to thousands) still fill the MXU. Which
-    wins is bandwidth-vs-launch-overhead and is measured on-chip by
-    scripts/bench_gru.py."""
-    return os.environ.get("VQCPCB_GRU_PROJ", "hoist") == "scan"
+    'scan' (default since r4): project per step inside the scan body — the
+    scan reads x directly and the projected (.., T, 3h) sequence never
+    exists in HBM; per-step matmuls at these row counts (hundreds to
+    thousands) still fill the MXU. Measured on 1x v5e (chain13 G + G2):
+    isolated BiGRU fwd+bwd 18.7 vs 20.85 ms/step and 3.6 vs 7.0 GB of HBM
+    traffic, headline encoder bench 1.53M vs 1.30M tokens/s (+17.8%) —
+    bit-preserving (identical device_get anchors; torch-oracle tests).
+    VQCPCB_GRU_PROJ=hoist restores the one-big-matmul layout (fewest
+    launches, materialises ~434 MB per layer at the bench geometry)."""
+    return os.environ.get("VQCPCB_GRU_PROJ", "scan") == "scan"
 
 
 class GRU(nn.Module):
