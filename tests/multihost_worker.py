@@ -112,6 +112,15 @@ def main():
     loss_local = float(jax.device_get(metrics_local["loss"]))
     np.testing.assert_allclose(loss_local, loss, rtol=1e-6)
 
+    # non-dividing local rows must raise (NOT silently replicate: each host
+    # holds different rows, a replicated spec would diverge the SPMD step)
+    bad = {"x": local["x_left"][: max(1, rows - 1)]}
+    try:
+        mesh_lib.shard_batch_local(bad, mesh)
+        raise AssertionError("shard_batch_local accepted non-dividing rows")
+    except ValueError:
+        pass
+
     print(f"MULTIHOST_OK {jax.process_index()} {loss:.6f}", flush=True)
 
 
