@@ -71,7 +71,7 @@ def main():
         "loss": round(loss_value, 4),
         "device": jax.devices()[0].platform,
         "pallas_train": os.environ.get("VQCPCB_PALLAS_ATTENTION_TRAIN", "1"),
-        "pallas_relbias": os.environ.get("VQCPCB_PALLAS_RELBIAS", "0"),
+        "pallas_relbias": os.environ.get("VQCPCB_PALLAS_RELBIAS", "1"),
     }))
 
 

@@ -223,11 +223,18 @@ def test_mha_training_path_uses_fused_kernel(monkeypatch):
 
     monkeypatch.setattr(pa, "use_pallas_attention_train", lambda: True)
     orig = pa.fused_attention_train
+    orig_rb = pa.fused_attention_train_relbias
 
     def interp(dropout_rate, interpret, *a):
         return orig(dropout_rate, True, *a)
 
+    def interp_rb(dropout_rate, interpret, *a):
+        # relbias default ON since r4: with the train gate patched True the
+        # MHA routes here, so it needs the same interpret shim on CPU
+        return orig_rb(dropout_rate, True, *a)
+
     monkeypatch.setattr(pa, "fused_attention_train", interp)
+    monkeypatch.setattr(pa, "fused_attention_train_relbias", interp_rb)
 
     mha = MultiheadAttention(
         embed_dim=16, num_heads=2, attention_bias_type="relative_attention",

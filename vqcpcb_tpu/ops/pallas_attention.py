@@ -440,8 +440,16 @@ fused_attention_train.defvjp(_fused_attention_train_fwd,
 
 def use_pallas_relbias() -> bool:
     """Gate for the fully-fused relative-bias training kernel (requires the
-    fused train path itself to be on)."""
-    return (os.environ.get("VQCPCB_PALLAS_RELBIAS", "0") == "1"
+    fused train path itself to be on).
+
+    DEFAULT ON since r4: flagship decoder train step 30.2 vs 44.7 ms/step
+    (chain13 RB2/RB3), forward + all five grads bit-match the XLA path on
+    v5e, the dropout custom-VJP is bit-identical to jax.grad of an exact
+    XLA replica (scripts/check_pallas_train_tpu.py), and a 3-epoch training
+    soak tracks the XLA-skew arm within ~0.05%/epoch (chain14 S,
+    scripts/soak_pallas_train.py --relbias). VQCPCB_PALLAS_RELBIAS=0
+    restores the XLA-side pad/reshape skew."""
+    return (os.environ.get("VQCPCB_PALLAS_RELBIAS", "1") == "1"
             and use_pallas_attention_train())
 
 
