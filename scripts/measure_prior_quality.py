@@ -135,11 +135,12 @@ def main():
     codebook_size = ENCODER_CFG['quantizer_kwargs']['codebook_size']
     print(f"\n== prior held-out NLL curve (uniform = log {codebook_size} "
           f"= {np.log(codebook_size):.3f} nats)")
-    for line in open(f"{prior_dir}/metrics.jsonl"):
-        rec = json.loads(line)
+    curve = [json.loads(line) for line in open(f"{prior_dir}/metrics.jsonl")]
+    assert curve, f"no epochs logged in {prior_dir}/metrics.jsonl"
+    for rec in curve:
         print(f"  ep {rec['epoch']}  train NLL {rec['loss/train']:.3f}  "
               f"val NLL {rec['loss/val']:.3f}")
-    final = rec
+    final = curve[-1]
 
     # ---- rebuild the stack for scoring (main_prior.py -g flow)
     import jax.numpy as jnp

@@ -82,10 +82,15 @@ def main():
                          dict(base, VQCPCB_PALLAS_RELBIAS="1"),
                          epochs, enc_smoke)
     else:
-        xla = run_arm(workdir, "xla", {"VQCPCB_PALLAS_ATTENTION_TRAIN": "0"},
+        # pin the skew OFF in both arms: since the r4 default flip the bare
+        # fused kernel would otherwise silently run the in-kernel skew and
+        # this mode would no longer measure what its name claims
+        xla = run_arm(workdir, "xla", {"VQCPCB_PALLAS_ATTENTION_TRAIN": "0",
+                                       "VQCPCB_PALLAS_RELBIAS": "0"},
                       epochs, enc_smoke)
         pallas = run_arm(workdir, "pallas",
-                         {"VQCPCB_PALLAS_ATTENTION_TRAIN": "1"},
+                         {"VQCPCB_PALLAS_ATTENTION_TRAIN": "1",
+                          "VQCPCB_PALLAS_RELBIAS": "0"},
                          epochs, enc_smoke)
     print(json.dumps({"xla": xla, "pallas": pallas}))
     for (xt, xv), (pt, pv) in zip(xla, pallas):

@@ -14,11 +14,16 @@ def test_bench_runs_and_prints_json(monkeypatch, capsys):
     monkeypatch.setenv("BENCH_STEPS", "2")
     monkeypatch.setenv("BENCH_WARMUP", "1")
     monkeypatch.setenv("BENCH_CORPUS_STEPS", "8")
+    # the shipping sampler default is batch 256 (v4); keep the CPU smoke at
+    # a small batch so the suite stays within its budget
+    monkeypatch.setenv("BENCH_SAMPLER_BATCH", "8")
     import bench
     bench.main()
     out = capsys.readouterr().out.strip().splitlines()
     record = json.loads(out[-1])
     assert record["metric"] == "encoder_train_tokens_per_sec"
+    assert record["decoder_sample_batch"] == 8
+    assert record["decoder_sample_tokens_per_sec"] > 0
     assert record["value"] > 0
     assert record["unit"] == "tokens/s"
     assert "vs_baseline" in record

@@ -84,7 +84,14 @@ def shard_batch_local(batch, mesh: Mesh):
     would build a "replicated" array with different values on each host and
     silently diverge the SPMD step. Arrays that really are identical
     everywhere (stray last batches, tiny eval batches) belong in
-    shard_batch. Single-process: identical to shard_batch."""
+    shard_batch. Single-process: identical to shard_batch.
+
+    CONTRACT: every process must pass the SAME local row count per leaf —
+    this is per-process code, so uneven epoch tails (host 0 ends with 8
+    rows, host 1 with 6) pass each host's own divisibility check yet build
+    different global shapes and deadlock the next collective with no
+    diagnostic. Dataloaders must drop or pad uneven tails (the bundled
+    dataset splits use drop_last, data/dataset.py)."""
     if jax.process_count() == 1:
         return shard_batch(batch, mesh)
     sharded = batch_sharding(mesh)
