@@ -62,6 +62,17 @@ def main():
         params, opt_state, loss = step(params, opt_state, source, target, sub)
     loss_value = float(jax.device_get(loss))
     elapsed = time.perf_counter() - t0
+    if os.environ.get("VQCPCB_PROFILE_DIR"):
+        # post-timing capture so the trace (host callbacks, trace buffers)
+        # cannot distort the measured window; the program is already compiled
+        from vqcpcb_tpu.training.profiling import maybe_profile
+        with maybe_profile("bench_decoder_train"):
+            for _ in range(int(os.environ.get("BENCH_DEC_PROFILE_STEPS",
+                                              "5"))):
+                key, sub = jax.random.split(key)
+                params, opt_state, loss = step(params, opt_state, source,
+                                               target, sub)
+            float(jax.device_get(loss))
     tokens = batch * 96 * 4 * steps
     print(json.dumps({
         "decoder_train_tokens_per_sec": round(tokens / elapsed, 1),

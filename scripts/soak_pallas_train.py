@@ -69,12 +69,23 @@ def main():
     #              (VQCPCB_PALLAS_RELBIAS=1) — the default-flip evidence
     args = [a for a in sys.argv[1:] if not a.startswith("-")]
     relbias = "--relbias" in sys.argv[1:]
+    compute_bf16 = "--compute-bf16" in sys.argv[1:]
     epochs = int(args[0]) if args else 3
     workdir = tempfile.mkdtemp(prefix="soak_pallas")
     os.makedirs(os.path.join(workdir, "configs"))
     # tiny encoder the decoder trains against
     enc_smoke = os.path.join(REPO, "tests", "configs", "encoder_smoke.py")
-    if relbias:
+    if compute_bf16:
+        # mixed-precision adjudication: f32 activations vs bf16 activations
+        # (VQCPCB_COMPUTE_DTYPE — params stay f32 in both arms), everything
+        # else at current defaults. Decides whether the decoder trainer can
+        # default to bf16 dense compute.
+        xla = run_arm(workdir, "xla", {"VQCPCB_COMPUTE_DTYPE": ""},
+                      epochs, enc_smoke)
+        pallas = run_arm(workdir, "pallas",
+                         {"VQCPCB_COMPUTE_DTYPE": "bfloat16"},
+                         epochs, enc_smoke)
+    elif relbias:
         base = {"VQCPCB_PALLAS_ATTENTION_TRAIN": "1"}
         xla = run_arm(workdir, "xla", dict(base, VQCPCB_PALLAS_RELBIAS="0"),
                       epochs, enc_smoke)
