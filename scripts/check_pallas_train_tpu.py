@@ -51,6 +51,41 @@ def main():
 
     t.test_fused_train_grads_bf16_dots(_Env())
     print("bf16-dots grads vs XLA f32 (3% tol): OK")
+
+    # packed (B, L, H*d) path: same kernel bodies, strided lane-block reads —
+    # the hardware run pins that Mosaic's DMA of d-wide blocks at hi*d lane
+    # offsets is bit-identical to the contiguous (B*H, L, d) layout, under
+    # BOTH dot modes and with dropout masks regenerated in the backward
+    for dots in ("0", "1"):
+        os.environ["VQCPCB_PALLAS_BF16_DOTS"] = dots
+        t.test_relbias_packed_bitmatches_unpacked(24, 24, 0.0)
+        t.test_relbias_packed_bitmatches_unpacked(32, 8, 0.0)
+        t.test_relbias_packed_bitmatches_unpacked(24, 24, 0.3)
+        print(f"packed lane-block path bit-matches unpacked "
+              f"(bf16_dots={dots}): OK")
+    # flagship-like geometry: d=64 heads -> 64-element (half-tile) lane
+    # offsets for odd heads, t=96 spans multiple sublane tiles
+    import jax.numpy as jnp
+    rng = np.random.RandomState(7)
+    b, h, tt, ss, d = 4, 8, 96, 96, 64
+    q = jnp.asarray(rng.randn(b, h, tt, d).astype(np.float32))
+    k = jnp.asarray(rng.randn(b, h, ss, d).astype(np.float32))
+    v = jnp.asarray(rng.randn(b, h, ss, d).astype(np.float32))
+    e1 = jnp.asarray(rng.randn(h, ss, d).astype(np.float32))
+    e2 = jnp.asarray(rng.randn(h, ss, d).astype(np.float32))
+    from vqcpcb_tpu.ops.masks import causal_mask
+    mask = causal_mask(tt)
+    a = np.asarray(t._packed_loss(q, k, v, mask, e1, e2, dropout=0.3,
+                                  seed_val=3)[0])
+    b_ = np.asarray(t._relbias_loss(q, k, v, mask, e1, e2, dropout=0.3,
+                                    seed_val=3)[0])
+    bb, hh = b_.shape[0], b_.shape[1]
+    b_packed = b_.transpose(0, 2, 1, 3).reshape(bb, tt, hh * d)
+    a_packed = a.transpose(0, 2, 1, 3).reshape(bb, tt, hh * d)
+    np.testing.assert_array_equal(a_packed, b_packed)
+    print("packed path flagship geometry (d=64, h=8, t=s=96): OK")
+
+    os.environ["VQCPCB_PALLAS_BF16_DOTS"] = "1"
     # determinism under bf16 + dropout (same seed -> identical output)
     q, k, v, mask, e1, e2 = t._inputs(t=32, s=32, s_src=32)
     a = np.asarray(t._fused_train_loss(q, k, v, mask, e1, e2,

@@ -291,6 +291,50 @@ def test_fused_relbias_attention_tp_shard_map_parity(num_model):
                                    rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.parametrize("num_model", [2, 4])
+def test_packed_relbias_attention_tp_shard_map_parity(num_model):
+    """The packed (B, L, H*d) relbias wrapper under (4,2) and (2,4) meshes:
+    a 'model' split of the packed embedding axis is head-aligned (heads are
+    contiguous d-wide lane blocks), so outputs and q/k/v/e1/e2 grads must
+    match the unsharded packed kernel."""
+    from vqcpcb_tpu.ops.pallas_attention import (
+        fused_attention_train_relbias_packed,
+        fused_attention_train_relbias_packed_tp)
+
+    rng = np.random.RandomState(1)
+    b, h, t, s, d = 8, 4, 16, 16, 8
+    q = jnp.asarray(rng.randn(b, t, h * d), jnp.float32)
+    k = jnp.asarray(rng.randn(b, s, h * d), jnp.float32)
+    v = jnp.asarray(rng.randn(b, s, h * d), jnp.float32)
+    e1 = jnp.asarray(rng.randn(h, s, d), jnp.float32)
+    e2 = jnp.asarray(rng.randn(h, s, d), jnp.float32)
+    mask = jnp.asarray(np.triu(np.full((t, s), -1e9), 1), jnp.float32)
+    seed = jnp.zeros((1,), jnp.int32)
+    mesh = mesh_lib.make_mesh(num_model=num_model)
+
+    def loss_ref(q, k, v, e1, e2):
+        out = fused_attention_train_relbias_packed(
+            0.0, True, h, seed, q, k, v, mask, e1, e2)
+        return jnp.sum(out * out), out
+
+    def loss_tp(q, k, v, e1, e2):
+        out = fused_attention_train_relbias_packed_tp(
+            mesh, 0.0, True, h, seed, q, k, v, mask, e1, e2)
+        return jnp.sum(out * out), out
+
+    (l_ref, out_ref), g_ref = jax.value_and_grad(
+        loss_ref, argnums=(0, 1, 2, 3, 4), has_aux=True)(q, k, v, e1, e2)
+    (l_tp, out_tp), g_tp = jax.value_and_grad(
+        loss_tp, argnums=(0, 1, 2, 3, 4), has_aux=True)(q, k, v, e1, e2)
+
+    np.testing.assert_allclose(np.asarray(out_tp), np.asarray(out_ref),
+                               rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(float(l_tp), float(l_ref), rtol=1e-5)
+    for a, b_ in zip(g_tp, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-4, atol=2e-5)
+
+
 def test_decoder_train_loss_via_tp_shard_map_kernel(monkeypatch):
     """End-to-end: the aligned decoder's training loss on a (4,2) mesh routed
     through the shard_map'd fused kernel matches the XLA attention path."""

@@ -451,3 +451,120 @@ def test_fused_train_grad_placeholder_bias_length1_target():
     for gf, gx in zip(g_fused, g_xla):
         np.testing.assert_allclose(np.asarray(gf), np.asarray(gx),
                                    rtol=2e-4, atol=2e-5)
+
+
+# ---- packed (B, L, H*d) natural-layout relbias path --------------------------
+
+def _pack_bhtd(x):
+    """(B, H, L, d) -> (B, L, H*d), heads contiguous along the lane axis."""
+    b, h, t, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, t, h * d)
+
+
+def _packed_loss(q, k, v, mask, e1, e2, dropout=0.0, seed_val=0):
+    from vqcpcb_tpu.ops.pallas_attention import (
+        NEG_BIG, fused_attention_train_relbias_packed)
+    h = q.shape[1]
+    mask_f = jnp.maximum(mask.astype(jnp.float32), NEG_BIG)
+    seed = jnp.full((1,), seed_val, jnp.int32)
+    interp = jax.default_backend() != "tpu"
+    out = fused_attention_train_relbias_packed(
+        dropout, interp, h, seed, _pack_bhtd(q), _pack_bhtd(k),
+        _pack_bhtd(v), mask_f, e1, e2)
+    # unpack to (B, H, T, d) so the loss weighting matches _relbias_loss
+    b, t, e_dim = out.shape
+    out = out.reshape(b, t, h, e_dim // h).transpose(0, 2, 1, 3)
+    return out, (out * jnp.cos(jnp.arange(out.size).reshape(out.shape))).sum()
+
+
+@pytest.mark.parametrize("t,s,dropout", [
+    (24, 24, 0.0),
+    (32, 8, 0.0),       # subsampled cross-attention geometry, ratio 4
+    (24, 24, 0.3),      # same (H, B)-grid seed offsets -> identical masks
+])
+def test_relbias_packed_bitmatches_unpacked(t, s, dropout):
+    """The packed wrapper runs the SAME kernel bodies as the unpacked one —
+    outputs and every gradient must be bit-identical (not just close),
+    including the regenerated dropout masks."""
+    q, k, v, _, e1, e2 = _inputs(t=t, s=s, s_src=s)
+    mask = causal_mask(t) if t == s else anticausal_mask(s, sz_tgt=t)
+
+    def f_packed(*a):
+        return _packed_loss(a[0], a[1], a[2], mask, a[3], a[4],
+                            dropout=dropout, seed_val=7)[1]
+
+    def f_unpacked(*a):
+        return _relbias_loss(a[0], a[1], a[2], mask, a[3], a[4],
+                             dropout=dropout, seed_val=7)[1]
+
+    args = (q, k, v, e1, e2)
+    got, g_packed = jax.value_and_grad(f_packed, argnums=(0, 1, 2, 3, 4))(*args)
+    want, g_unpacked = jax.value_and_grad(f_unpacked,
+                                          argnums=(0, 1, 2, 3, 4))(*args)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    for gp, gu in zip(g_packed, g_unpacked):
+        np.testing.assert_array_equal(np.asarray(gp), np.asarray(gu))
+
+
+def test_mha_training_path_uses_packed_kernel(monkeypatch):
+    """MultiheadAttention(training=True) routes through the packed kernel
+    when VQCPCB_PALLAS_PACKED_QKV is on, skips the head transposes, and
+    matches the XLA path at dropout=0."""
+    import vqcpcb_tpu.ops.pallas_attention as pa
+    from vqcpcb_tpu.ops.attention import MultiheadAttention
+
+    monkeypatch.setattr(pa, "use_pallas_packed_qkv", lambda: True)
+    calls = []
+    orig = pa.fused_attention_train_relbias_packed
+
+    def interp(dropout_rate, interpret, *a):
+        calls.append(1)
+        return orig(dropout_rate, True, *a)
+
+    monkeypatch.setattr(pa, "fused_attention_train_relbias_packed", interp)
+
+    mha = MultiheadAttention(
+        embed_dim=16, num_heads=2, attention_bias_type="relative_attention",
+        num_channels_k=4, num_events_k=4, num_channels_q=4, num_events_q=4,
+        dropout=0.0)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 16, 16).astype(np.float32))
+    params = mha.init(jax.random.PRNGKey(0), x, x, x)
+    mask = causal_mask(16)
+    out_fused, w = mha.apply(params, x, x, x, attn_mask=mask, training=True,
+                             rngs={"dropout": jax.random.PRNGKey(1)})
+    assert w is None and calls
+    out_xla, _ = mha.apply(params, x, x, x, attn_mask=mask, training=False)
+    np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_xla),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_mha_packed_cross_attention_route(monkeypatch):
+    """Cross-attention (query is not key, rectangular mask, subsampled bias)
+    through the packed route matches the XLA path."""
+    import vqcpcb_tpu.ops.pallas_attention as pa
+    from vqcpcb_tpu.ops.attention import MultiheadAttention
+
+    monkeypatch.setattr(pa, "use_pallas_packed_qkv", lambda: True)
+    orig = pa.fused_attention_train_relbias_packed
+    monkeypatch.setattr(
+        pa, "fused_attention_train_relbias_packed",
+        lambda dr, it, *a: orig(dr, True, *a))
+
+    mha = MultiheadAttention(
+        embed_dim=16, num_heads=2,
+        attention_bias_type="relative_attention_target_source",
+        num_channels_k=1, num_events_k=4, num_channels_q=4, num_events_q=4,
+        dropout=0.0)
+    rng = np.random.RandomState(1)
+    xq = jnp.asarray(rng.randn(2, 16, 16).astype(np.float32))
+    xk = jnp.asarray(rng.randn(2, 4, 16).astype(np.float32))
+    params = mha.init(jax.random.PRNGKey(0), xq, xk, xk)
+    mask = anticausal_mask(4, sz_tgt=16)
+    out_fused, w = mha.apply(params, xq, xk, xk, attn_mask=mask,
+                             training=True,
+                             rngs={"dropout": jax.random.PRNGKey(1)})
+    assert w is None
+    out_xla, _ = mha.apply(params, xq, xk, xk, attn_mask=mask, training=False)
+    np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_xla),
+                               rtol=2e-4, atol=2e-5)

@@ -165,6 +165,56 @@ class MultiheadAttention(nn.Module):
           (output (B, L_tgt, E), attn_weights (B, H, L_tgt, L_src))
         """
         del value  # reference always has key == value
+
+        # packed natural-layout path (opt-in, VQCPCB_PALLAS_PACKED_QKV): the
+        # relbias kernels consume the projection output as (B, L, H*d) lane
+        # blocks directly — the (B, H, L, d) transposes (and their backward
+        # mirrors) never exist. Must run BEFORE project_q/project_kv, which
+        # are exactly the transposes being elided.
+        if training and not self.grouped and self.e1 is not None:
+            from vqcpcb_tpu.ops.pallas_attention import (
+                NEG_BIG, fused_attention_train_relbias_packed,
+                fused_attention_train_relbias_packed_tp,
+                use_pallas_packed_qkv)
+            from vqcpcb_tpu.parallel import mesh as mesh_lib
+            if use_pallas_packed_qkv():
+                b, t = query.shape[0], query.shape[1]
+                s = key.shape[1]
+                h = self.num_heads
+                head_dim = self.embed_dim // h
+                tp_mesh = mesh_lib.CURRENT_MESH
+                if tp_mesh is not None and tp_mesh.devices.size == 1:
+                    tp_mesh = None
+                tp_ok = (tp_mesh is None
+                         or (h % tp_mesh.shape[mesh_lib.MODEL_AXIS] == 0
+                             and b % tp_mesh.shape[mesh_lib.DATA_AXIS] == 0))
+                if tp_ok:
+                    qkv_q = self.in_proj(query)       # (B, T, 3, H, hd)
+                    qkv_k = qkv_q if key is query else self.in_proj(key)
+                    q_p = (qkv_q[..., 0, :, :] * (head_dim ** -0.5)
+                           ).reshape(b, t, self.embed_dim)
+                    k_p = qkv_k[..., 1, :, :].reshape(b, s, self.embed_dim)
+                    v_p = qkv_k[..., 2, :, :].reshape(b, s, self.embed_dim)
+                    mask_f = (jnp.zeros((t, s), jnp.float32)
+                              if attn_mask is None
+                              else jnp.maximum(attn_mask.astype(jnp.float32),
+                                               NEG_BIG))
+                    if self.dropout > 0.0:
+                        seed0 = jax.random.randint(
+                            self.make_rng("dropout"), (1,), 0,
+                            jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
+                    else:
+                        seed0 = jnp.zeros((1,), jnp.int32)
+                    if tp_mesh is not None:
+                        out = fused_attention_train_relbias_packed_tp(
+                            tp_mesh, float(self.dropout), False, h, seed0,
+                            q_p, k_p, v_p, mask_f, self.e1, self.e2)
+                    else:
+                        out = fused_attention_train_relbias_packed(
+                            float(self.dropout), False, h, seed0,
+                            q_p, k_p, v_p, mask_f, self.e1, self.e2)
+                    return self.out_proj(out.astype(query.dtype)), None
+
         q = self.project_q(query)
         k, v = self.project_kv(key)
 

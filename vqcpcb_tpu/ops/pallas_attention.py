@@ -700,6 +700,189 @@ def _fused_relbias_bwd(dropout_rate, interpret, residuals, g):
 fused_attention_train_relbias.defvjp(_fused_relbias_fwd, _fused_relbias_bwd)
 
 
+# =============================================================================
+# Packed-layout (B, L, H*d) relbias attention: same kernels, zero transposes.
+#
+# The r4 decoder-train profile (/tmp/dec_prof, BENCHMARKS.md) shows ~15% of
+# the step in transpose/copy ops — dominated by the (B, L, H, d) <->
+# (B, H, L, d) layout moves around the three self-attention relbias kernels
+# (each pass moves q, k, v, out; the backward moves their gradients back).
+# Since adjacent heads are adjacent in the embedding axis, the projection's
+# NATURAL output — (B, L, H*d), a free reshape of the DenseGeneral result —
+# already has every head's (L, d) plane as a contiguous lane-block slice.
+# These wrappers run the IDENTICAL kernel bodies on that layout: the only
+# change is the BlockSpec index maps, which pick head hi as lane-block hi of
+# the rank-3 (B, L, E) array. The kernel output lands directly in (B, L, E),
+# ready for out_proj — no transpose exists in either pass for q/k/v/out or
+# their gradients. Dropout seed offsets use the same (H, B)-grid formula, so
+# the masks are bit-identical to the unpacked kernels.
+#
+# Opt-in via VQCPCB_PALLAS_PACKED_QKV until the on-chip A/B lands.
+# =============================================================================
+
+
+def use_pallas_packed_qkv() -> bool:
+    """Gate for the packed-(B, L, H*d) relbias path (requires the relbias
+    kernel itself to be on). Opt-in until the on-chip A/B lands: the kernels
+    are the SAME code as the unpacked path (bit-identical outputs/grads,
+    tests/test_pallas_attention.py::test_relbias_packed_*) — only the
+    BlockSpec index maps differ — but the strided (L, d) HBM reads this
+    trades the transposes for must be timed before a default flip."""
+    return (os.environ.get("VQCPCB_PALLAS_PACKED_QKV", "0") == "1"
+            and use_pallas_relbias())
+
+
+def _relbias_specs_packed(t, s, d, wp):
+    """Blocks for (B, L, H*d) arrays: head hi = lane-block hi (index maps
+    count in block units, so index hi on a d-wide block = element offset
+    hi*d). Block shapes match _relbias_specs, so the kernel bodies are
+    shared verbatim."""
+    return [
+        pl.BlockSpec(memory_space=pltpu.SMEM),                       # seed
+        pl.BlockSpec((1, t, d), lambda hi, bi: (bi, 0, hi),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, s, d), lambda hi, bi: (bi, 0, hi),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, s, d), lambda hi, bi: (bi, 0, hi),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((t, s), lambda hi, bi: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, wp, d), lambda hi, bi: (hi, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def fused_attention_train_relbias_packed(dropout_rate, interpret, num_heads,
+                                         seed, q, k, v, mask, e1, e2):
+    """fused_attention_train_relbias on the packed natural layout.
+
+    dropout_rate/interpret/num_heads: static; seed: (1,) int32; q: (B, T,
+    H*d) already scaled — the projection output reshaped, NOT transposed;
+    k/v: (B, S, H*d); mask: (T, S) additive finite; e1/e2: (H, S, d).
+    Requires T % S == 0. Returns (B, T, H*d) in q.dtype — the out_proj
+    input layout."""
+    out, _ = _fused_relbias_packed_fwd(dropout_rate, interpret, num_heads,
+                                       seed, q, k, v, mask, e1, e2)
+    return out
+
+
+def _fused_relbias_packed_fwd(dropout_rate, interpret, num_heads, seed,
+                              q, k, v, mask, e1, e2):
+    interpret = _interpret_mode(interpret)
+    b, t, e_dim = q.shape
+    h = num_heads
+    d = e_dim // h
+    s = k.shape[1]
+    assert e1.shape == (h, s, d), (e1.shape, (h, s, d))
+    wp, nbits, ratio = _relbias_geometry(t, s)
+    epk = _relbias_pack_e(e1, e2, wp)
+    out = pl.pallas_call(
+        functools.partial(_relbias_fwd_kernel, dropout_rate=dropout_rate,
+                          dot_dtype=_dots_dtype(), ratio=ratio, src_len=s,
+                          nbits=nbits),
+        grid=(h, b),
+        in_specs=_relbias_specs_packed(t, s, d, wp),
+        out_specs=pl.BlockSpec((1, t, d), lambda hi, bi: (bi, 0, hi),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, t, e_dim), q.dtype),
+        interpret=interpret,
+    )(seed, q, k, v, mask, epk)
+    return out, (seed, q, k, v, mask, epk)
+
+
+def _fused_relbias_packed_bwd(dropout_rate, interpret, num_heads, residuals,
+                              g):
+    interpret = _interpret_mode(interpret)
+    seed, q, k, v, mask, epk = residuals
+    b, t, e_dim = q.shape
+    h = num_heads
+    d = e_dim // h
+    s = k.shape[1]
+    wp = epk.shape[1]
+    _, nbits, ratio = _relbias_geometry(t, s)
+    dq, dk, dv, dmask, de = pl.pallas_call(
+        functools.partial(_relbias_bwd_kernel, dropout_rate=dropout_rate,
+                          dot_dtype=_dots_dtype(), ratio=ratio, src_len=s,
+                          nbits=nbits),
+        grid=(h, b),
+        in_specs=_relbias_specs_packed(t, s, d, wp) + [
+            pl.BlockSpec((1, t, d), lambda hi, bi: (bi, 0, hi),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, t, d), lambda hi, bi: (bi, 0, hi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s, d), lambda hi, bi: (bi, 0, hi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s, d), lambda hi, bi: (bi, 0, hi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((t, s), lambda hi, bi: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, wp, d), lambda hi, bi: (hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, t, e_dim), q.dtype),
+            jax.ShapeDtypeStruct((b, s, e_dim), k.dtype),
+            jax.ShapeDtypeStruct((b, s, e_dim), v.dtype),
+            jax.ShapeDtypeStruct((t, s), jnp.float32),
+            jax.ShapeDtypeStruct((h, wp, d), jnp.float32),
+        ],
+        interpret=interpret,
+    )(seed, q, k, v, mask, epk, g)
+    de1 = de[:, :s, :].astype(q.dtype)
+    de2 = jnp.concatenate(
+        [jnp.zeros((h, 1, d), q.dtype), de[:, s:2 * s - 1, :].astype(q.dtype)],
+        axis=1)
+    dseed = np.zeros((), jax.dtypes.float0)
+    return dseed, dq, dk, dv, dmask, de1, de2
+
+
+fused_attention_train_relbias_packed.defvjp(_fused_relbias_packed_fwd,
+                                            _fused_relbias_packed_bwd)
+
+
+def fused_attention_train_relbias_packed_tp(mesh, dropout_rate, interpret,
+                                            num_heads, seed, q, k, v, mask,
+                                            e1, e2):
+    """Packed relbias under a DPxTP mesh: batch on 'data', the embedding
+    axis on 'model'. Heads are contiguous d-wide lane blocks of the packed
+    axis, so a 'model' split of E is exactly the head-aligned TP layout
+    (TP_RULES shard in_proj's head axis; the flattened E inherits it) — the
+    forced in_specs are no-op reshards in a TP train step. Requires
+    H % model == 0, B % data == 0."""
+    import functools as _ft
+    try:
+        from jax import shard_map as _sm
+        shard_map = _ft.partial(_sm, check_vma=False)
+    except ImportError:  # older jax: experimental API, check_rep kwarg
+        from jax.experimental.shard_map import shard_map as _sm
+        shard_map = _ft.partial(_sm, check_rep=False)
+
+    from vqcpcb_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, P
+
+    b = q.shape[0]
+    n_model = mesh.shape[MODEL_AXIS]
+    lb, lh = b // mesh.shape[DATA_AXIS], num_heads // n_model
+
+    def local(seed, q, k, v, mask, e1, e2):
+        shard = (jax.lax.axis_index(DATA_AXIS) * n_model
+                 + jax.lax.axis_index(MODEL_AXIS))
+        seed = seed + shard.astype(seed.dtype) * np.int32(lb * lh)
+        return fused_attention_train_relbias_packed(
+            dropout_rate, interpret, lh, seed, q, k, v, mask, e1, e2)
+
+    packed_spec = P(DATA_AXIS, None, MODEL_AXIS)
+    e_spec = P(MODEL_AXIS, None, None)
+    return shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), packed_spec, packed_spec, packed_spec, P(None, None),
+                  e_spec, e_spec),
+        out_specs=packed_spec,
+    )(seed, q, k, v, mask, e1, e2)
+
+
 def fused_attention_train_relbias_tp(mesh, dropout_rate, interpret, seed,
                                      q, k, v, mask, e1, e2):
     """fused_attention_train_relbias under a DPxTP mesh via shard_map: batch
