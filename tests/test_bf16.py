@@ -47,3 +47,45 @@ def test_bf16_grads_track_f32(monkeypatch):
     cos = float(np.dot(flat32, flat16)
                 / (np.linalg.norm(flat32) * np.linalg.norm(flat16) + 1e-30))
     assert cos > 0.95, f"bf16 grads diverge from f32 (cosine {cos:.4f})"
+
+
+def test_default_compute_dtype_scope_and_env_precedence(monkeypatch):
+    import jax.numpy as jnp
+    from vqcpcb_tpu import ops
+
+    monkeypatch.delenv("VQCPCB_COMPUTE_DTYPE", raising=False)
+    assert ops.compute_dtype() is None
+    with ops.default_compute_dtype("bfloat16"):
+        assert ops.compute_dtype() == jnp.bfloat16
+        with ops.default_compute_dtype(""):
+            assert ops.compute_dtype() is None
+        assert ops.compute_dtype() == jnp.bfloat16
+    assert ops.compute_dtype() is None
+
+    # an explicit env var (even '') is user intent and beats the scope
+    monkeypatch.setenv("VQCPCB_COMPUTE_DTYPE", "")
+    with ops.default_compute_dtype("bfloat16"):
+        assert ops.compute_dtype() is None
+    monkeypatch.setenv("VQCPCB_COMPUTE_DTYPE", "bfloat16")
+    assert ops.compute_dtype() == jnp.bfloat16
+
+
+def test_decoder_train_model_enters_compute_scope(monkeypatch):
+    """DecoderTrainer.train_model runs the shared loop inside the
+    default_compute_dtype scope chosen by _train_compute_default."""
+    import jax.numpy as jnp
+    import vqcpcb_tpu.training.decoder_trainer as dt
+    from vqcpcb_tpu import ops
+
+    monkeypatch.delenv("VQCPCB_COMPUTE_DTYPE", raising=False)
+    monkeypatch.setattr(dt, "_train_compute_default", lambda: "bfloat16")
+    seen = {}
+
+    def fake_train_model(self, **kw):
+        seen["dtype"] = ops.compute_dtype()
+
+    monkeypatch.setattr(dt.TrainLoopMixin, "train_model", fake_train_model)
+    trainer = dt.DecoderTrainer.__new__(dt.DecoderTrainer)
+    trainer.train_model()
+    assert seen["dtype"] == jnp.bfloat16
+    assert ops.compute_dtype() is None  # scope restored after the loop

@@ -282,3 +282,41 @@ def test_remat_composes_with_relbias_kernel(monkeypatch):
     for a, b in zip(jax.tree.leaves(ggot), jax.tree.leaves(gwant)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=3e-4, atol=3e-5)
+
+
+def test_remat_composes_with_packed_kernel(monkeypatch):
+    """Per-layer remat around the packed (B, L, H*d) relbias path: the
+    rematerialised backward re-enters the packed fwd kernel and grads must
+    still match the XLA program (same setup as the relbias compose test)."""
+    import vqcpcb_tpu.ops.pallas_attention as pa
+
+    decoder = make_decoder("relative", "diagonal", "anticausal")
+    params, source, target = init_decoder(decoder, batch=4)
+
+    def loss(p):
+        return decoder.apply({"params": p}, source, target,
+                             training=True,
+                             rngs={"dropout": jax.random.PRNGKey(0)})["loss"]
+
+    monkeypatch.delenv("VQCPCB_REMAT", raising=False)
+    want, gwant = jax.value_and_grad(loss)(params["params"])
+
+    monkeypatch.setenv("VQCPCB_REMAT", "1")
+    monkeypatch.setenv("VQCPCB_PALLAS_BF16_DOTS", "0")  # exact-f32 dots
+    monkeypatch.setattr(pa, "use_pallas_attention_train", lambda: True)
+    monkeypatch.setattr(pa, "use_pallas_relbias", lambda: True)
+    monkeypatch.setattr(pa, "use_pallas_packed_qkv", lambda: True)
+    monkeypatch.setattr(pa, "_interpret_mode", lambda i: i)
+    orig = pa.fused_attention_train_relbias_packed
+    monkeypatch.setattr(
+        pa, "fused_attention_train_relbias_packed",
+        lambda dr, interp, *a: orig(dr, True, *a))
+    orig_plain = pa.fused_attention_train
+    monkeypatch.setattr(
+        pa, "fused_attention_train",
+        lambda dr, interp, *a: orig_plain(dr, True, *a))
+    got, ggot = jax.value_and_grad(loss)(params["params"])
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(ggot), jax.tree.leaves(gwant)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-4, atol=3e-5)

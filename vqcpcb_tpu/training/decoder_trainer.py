@@ -45,6 +45,13 @@ from vqcpcb_tpu.training.optim import make_optimizer
 from vqcpcb_tpu.training.train_state import TrainState
 
 
+def _train_compute_default() -> str:
+    """bf16 dense compute for decoder TRAINING on TPU (measured win at
+    identical loss); '' (f32) elsewhere — CPU bf16 is emulated and slower,
+    and the encoder bench measured bf16 neutral, so its trainer keeps f32."""
+    return "bfloat16" if jax.default_backend() == "tpu" else ""
+
+
 def compute_start_end_times(t: int, num_blocks: int, num_blocks_model: int):
     """Sliding-window bookkeeping (reference: decoder.py:831-854)."""
     if num_blocks_model // 2 <= t < num_blocks - num_blocks_model // 2:
@@ -223,6 +230,16 @@ class DecoderTrainer(TrainLoopMixin):
         return means
 
     # train_model: shared TrainLoopMixin (training/loop.py); monitor 'loss'
+
+    def train_model(self, **kwargs):
+        """Decoder training defaults to bf16 dense compute on TPU: 29.0 ->
+        25.4 ms/step at identical loss on the flagship bench and a 3-epoch
+        quality twin within noise (BENCHMARKS.md round-4 cont.). Scoped so
+        generation/eval outside the loop and the other trainers stay f32;
+        an explicit VQCPCB_COMPUTE_DTYPE (even '') overrides."""
+        from vqcpcb_tpu.ops import default_compute_dtype
+        with default_compute_dtype(_train_compute_default()):
+            return super().train_model(**kwargs)
 
     # ---- generation ----------------------------------------------------------
 
