@@ -52,15 +52,21 @@ def main():
     t.test_fused_train_grads_bf16_dots(_Env())
     print("bf16-dots grads vs XLA f32 (3% tol): OK")
 
-    # packed (B, L, H*d) path: same kernel bodies, strided lane-block reads —
-    # the hardware run pins that Mosaic's DMA of d-wide blocks at hi*d lane
-    # offsets is bit-identical to the contiguous (B*H, L, d) layout, under
+    # packed (B, L, H*d) path: same per-head math, Mosaic-legal blocks of
+    # _packed_heads_per_block heads (128-lane tiles when d tiles 128, the
+    # full lane width otherwise) with static in-kernel head slices — the
+    # hardware run pins that the lowering (half-tile lane slices at hi*d
+    # offsets) is bit-identical to the contiguous (B*H, L, d) layout, under
     # BOTH dot modes and with dropout masks regenerated in the backward
     for dots in ("0", "1"):
         os.environ["VQCPCB_PALLAS_BF16_DOTS"] = dots
         t.test_relbias_packed_bitmatches_unpacked(24, 24, 0.0)
         t.test_relbias_packed_bitmatches_unpacked(32, 8, 0.0)
         t.test_relbias_packed_bitmatches_unpacked(24, 24, 0.3)
+        t.test_relbias_packed_lane_tile_blocking(4, 64, 16, 16, 0.0)
+        t.test_relbias_packed_lane_tile_blocking(4, 64, 32, 8, 0.0)
+        t.test_relbias_packed_lane_tile_blocking(4, 64, 16, 16, 0.3)
+        t.test_relbias_packed_lane_tile_blocking(2, 128, 16, 16, 0.0)
         print(f"packed lane-block path bit-matches unpacked "
               f"(bf16_dots={dots}): OK")
     # flagship-like geometry: d=64 heads -> 64-element (half-tile) lane

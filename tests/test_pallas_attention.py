@@ -506,6 +506,45 @@ def test_relbias_packed_bitmatches_unpacked(t, s, dropout):
         np.testing.assert_array_equal(np.asarray(gp), np.asarray(gu))
 
 
+@pytest.mark.parametrize("h,d,t,s,dropout", [
+    (4, 64, 16, 16, 0.0),   # flagship head width: hpb=2, two 128-lane blocks
+    (4, 64, 32, 8, 0.0),    # same, subsampled cross geometry (ratio 4)
+    (4, 64, 16, 16, 0.3),   # dropout streams must match per GLOBAL head
+    (2, 128, 16, 16, 0.0),  # lane-aligned head: hpb=1
+])
+def test_relbias_packed_lane_tile_blocking(h, d, t, s, dropout):
+    """The Mosaic-legal packed blocking (chain19 fix): when d tiles 128,
+    grid steps cover 128//d heads per 128-lane block and slice each head
+    statically in-kernel. Must stay bit-identical to the unpacked path —
+    including dropout masks, which are indexed per global head."""
+    from vqcpcb_tpu.ops.pallas_attention import _packed_heads_per_block
+    assert _packed_heads_per_block(h, d) == 128 // d
+    rng = np.random.RandomState(3)
+    b = 2
+    q = jnp.asarray(rng.randn(b, h, t, d).astype(np.float32)) * (d ** -0.5)
+    k = jnp.asarray(rng.randn(b, h, s, d).astype(np.float32))
+    v = jnp.asarray(rng.randn(b, h, s, d).astype(np.float32))
+    e1 = jnp.asarray(rng.randn(h, s, d).astype(np.float32))
+    e2 = jnp.asarray(rng.randn(h, s, d).astype(np.float32))
+    mask = causal_mask(t) if t == s else anticausal_mask(s, sz_tgt=t)
+
+    def f_packed(*a):
+        return _packed_loss(a[0], a[1], a[2], mask, a[3], a[4],
+                            dropout=dropout, seed_val=11)[1]
+
+    def f_unpacked(*a):
+        return _relbias_loss(a[0], a[1], a[2], mask, a[3], a[4],
+                             dropout=dropout, seed_val=11)[1]
+
+    args = (q, k, v, e1, e2)
+    got, g_packed = jax.value_and_grad(f_packed, argnums=(0, 1, 2, 3, 4))(*args)
+    want, g_unpacked = jax.value_and_grad(f_unpacked,
+                                          argnums=(0, 1, 2, 3, 4))(*args)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    for gp, gu in zip(g_packed, g_unpacked):
+        np.testing.assert_array_equal(np.asarray(gp), np.asarray(gu))
+
+
 def test_mha_training_path_uses_packed_kernel(monkeypatch):
     """MultiheadAttention(training=True) routes through the packed kernel
     when VQCPCB_PALLAS_PACKED_QKV is on, skips the head transposes, and

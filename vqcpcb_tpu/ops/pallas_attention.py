@@ -477,40 +477,45 @@ def _relbias_shifts(t, src_len, ratio):
     return (src_len - 1) - rows // ratio
 
 
-def _relbias_fwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, e_ref,
-                        out_ref, *, dropout_rate, dot_dtype, ratio, src_len,
-                        nbits):
-    q = q_ref[0].astype(dot_dtype)                   # (T, d)
-    k = k_ref[0].astype(dot_dtype)                   # (S, d)
-    v = v_ref[0].astype(dot_dtype)
-    e = e_ref[0].astype(dot_dtype)                   # (Wp, d), zero-padded
+def _relbias_fwd_head(q, k, v, mask, e, drop_step, *, dropout_rate,
+                      dot_dtype, ratio, src_len, nbits):
+    """Per-head relbias attention forward on (T, d)/(S, d)/(Wp, d) values.
+
+    The single source of truth for the math: the unpacked kernel calls it
+    once per (head, batch) grid step; the packed kernel calls it per
+    statically-sliced head within its lane block. drop_step is the
+    already-offset dropout stream index (seed + global_head*B + batch)."""
+    q = q.astype(dot_dtype)
+    k = k.astype(dot_dtype)
+    v = v.astype(dot_dtype)
+    e = e.astype(dot_dtype)                          # (Wp, d), zero-padded
     t = q.shape[0]
     scores = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
     c = jax.lax.dot_general(q, e, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)  # (T, Wp)
     shifts = _relbias_shifts(t, src_len, ratio)
     bias = _row_shift(c, shifts, nbits, right=False)[:, :src_len]
-    scores = scores + mask_ref[:] + bias
+    scores = scores + mask + bias
     w = jax.nn.softmax(scores, axis=-1)
     if dropout_rate > 0.0:
-        keep = _dropout_keep(w.shape, dropout_rate,
-                             seed_ref[0]
-                             + pl.program_id(0) * pl.num_programs(1)
-                             + pl.program_id(1))
+        keep = _dropout_keep(w.shape, dropout_rate, drop_step)
         w = jnp.where(keep, w * (1.0 / (1.0 - dropout_rate)), 0.0)
-    out_ref[0] = jnp.dot(w.astype(dot_dtype), v,
-                         preferred_element_type=jnp.float32
-                         ).astype(out_ref.dtype)
+    return jnp.dot(w.astype(dot_dtype), v,
+                   preferred_element_type=jnp.float32)
 
 
-def _relbias_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, e_ref,
-                        do_ref, dq_ref, dk_ref, dv_ref, dmask_ref, de_ref, *,
-                        dropout_rate, dot_dtype, ratio, src_len, nbits):
-    q = q_ref[0].astype(dot_dtype)
-    k = k_ref[0].astype(dot_dtype)
-    v = v_ref[0].astype(dot_dtype)
-    e = e_ref[0].astype(dot_dtype)                   # (Wp, d)
-    do = do_ref[0].astype(dot_dtype)
+def _relbias_bwd_head(q, k, v, mask, e, do, drop_step, *, dropout_rate,
+                      dot_dtype, ratio, src_len, nbits):
+    """Per-head relbias backward; returns (dq, dk, dv, ds, de) in f32.
+
+    ds is the score gradient (the caller accumulates it into dmask); de is
+    this (head, batch) step's contribution to the combined-table gradient
+    (the caller accumulates across batch grid steps)."""
+    q = q.astype(dot_dtype)
+    k = k.astype(dot_dtype)
+    v = v.astype(dot_dtype)
+    e = e.astype(dot_dtype)                          # (Wp, d)
+    do = do.astype(dot_dtype)
     t = q.shape[0]
     wp = e.shape[0]
     scores = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
@@ -518,24 +523,59 @@ def _relbias_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, e_ref,
                             preferred_element_type=jnp.float32)
     shifts = _relbias_shifts(t, src_len, ratio)
     bias = _row_shift(c, shifts, nbits, right=False)[:, :src_len]
-    scores = scores + mask_ref[:] + bias
+    scores = scores + mask + bias
     w = jax.nn.softmax(scores, axis=-1)
     if dropout_rate > 0.0:
-        keep = _dropout_keep(w.shape, dropout_rate,
-                             seed_ref[0]
-                             + pl.program_id(0) * pl.num_programs(1)
-                             + pl.program_id(1))
+        keep = _dropout_keep(w.shape, dropout_rate, drop_step)
         inv = 1.0 / (1.0 - dropout_rate)
         w_drop = jnp.where(keep, w * inv, 0.0)
     else:
         keep, inv, w_drop = None, 1.0, w
-    dv_ref[0] = jnp.dot(w_drop.astype(dot_dtype).T, do,
-                        preferred_element_type=jnp.float32
-                        ).astype(dv_ref.dtype)
+    dv = jnp.dot(w_drop.astype(dot_dtype).T, do,
+                 preferred_element_type=jnp.float32)
     dw = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
     if keep is not None:
         dw = jnp.where(keep, dw * inv, 0.0)
     ds = w * (dw - jnp.sum(dw * w, axis=-1, keepdims=True))
+    # bias path: dC[t, j] = ds[t, j - shift(t)] (the forward shift's
+    # transpose is the mirrored right-shift of the zero-padded gradient)
+    ds_pad = jnp.concatenate(
+        [ds, jnp.zeros((t, wp - src_len), jnp.float32)], axis=-1)
+    dc = _row_shift(ds_pad, shifts, nbits, right=True)
+    ds_d = ds.astype(dot_dtype)
+    dc_d = dc.astype(dot_dtype)
+    dq = (jnp.dot(ds_d, k, preferred_element_type=jnp.float32)
+          + jax.lax.dot_general(dc_d, e, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32))
+    dk = jnp.dot(ds_d.T, q, preferred_element_type=jnp.float32)
+    de = jax.lax.dot_general(dc_d, q, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)  # (Wp, d)
+    return dq, dk, dv, ds, de
+
+
+def _relbias_fwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, e_ref,
+                        out_ref, *, dropout_rate, dot_dtype, ratio, src_len,
+                        nbits):
+    step = (seed_ref[0] + pl.program_id(0) * pl.num_programs(1)
+            + pl.program_id(1))
+    out_ref[0] = _relbias_fwd_head(
+        q_ref[0], k_ref[0], v_ref[0], mask_ref[:], e_ref[0], step,
+        dropout_rate=dropout_rate, dot_dtype=dot_dtype, ratio=ratio,
+        src_len=src_len, nbits=nbits).astype(out_ref.dtype)
+
+
+def _relbias_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, e_ref,
+                        do_ref, dq_ref, dk_ref, dv_ref, dmask_ref, de_ref, *,
+                        dropout_rate, dot_dtype, ratio, src_len, nbits):
+    step = (seed_ref[0] + pl.program_id(0) * pl.num_programs(1)
+            + pl.program_id(1))
+    dq, dk, dv, ds, de = _relbias_bwd_head(
+        q_ref[0], k_ref[0], v_ref[0], mask_ref[:], e_ref[0], do_ref[0], step,
+        dropout_rate=dropout_rate, dot_dtype=dot_dtype, ratio=ratio,
+        src_len=src_len, nbits=nbits)
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
     i = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
 
     @pl.when(i == 0)
@@ -546,23 +586,6 @@ def _relbias_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, e_ref,
     def _acc_mask():
         dmask_ref[:] = dmask_ref[:] + ds
 
-    # bias path: dC[t, j] = ds[t, j - shift(t)] (the forward shift's
-    # transpose is the mirrored right-shift of the zero-padded gradient)
-    ds_pad = jnp.concatenate(
-        [ds, jnp.zeros((t, wp - src_len), jnp.float32)], axis=-1)
-    dc = _row_shift(ds_pad, shifts, nbits, right=True)
-    ds_d = ds.astype(dot_dtype)
-    dc_d = dc.astype(dot_dtype)
-    dq_ref[0] = (jnp.dot(ds_d, k, preferred_element_type=jnp.float32)
-                 + jax.lax.dot_general(
-                     dc_d, e, (((1,), (0,)), ((), ())),
-                     preferred_element_type=jnp.float32)
-                 ).astype(dq_ref.dtype)
-    dk_ref[0] = jnp.dot(ds_d.T, q, preferred_element_type=jnp.float32
-                        ).astype(dk_ref.dtype)
-    de = jax.lax.dot_general(dc_d, q.astype(dot_dtype),
-                             (((0,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)  # (Wp, d)
     b_idx = pl.program_id(1)
 
     @pl.when(b_idx == 0)
@@ -701,7 +724,8 @@ fused_attention_train_relbias.defvjp(_fused_relbias_fwd, _fused_relbias_bwd)
 
 
 # =============================================================================
-# Packed-layout (B, L, H*d) relbias attention: same kernels, zero transposes.
+# Packed-layout (B, L, H*d) relbias attention: same per-head math, zero
+# transposes.
 #
 # The r4 decoder-train profile (/tmp/dec_prof, BENCHMARKS.md) shows ~15% of
 # the step in transpose/copy ops — dominated by the (B, L, H, d) <->
@@ -710,12 +734,19 @@ fused_attention_train_relbias.defvjp(_fused_relbias_fwd, _fused_relbias_bwd)
 # Since adjacent heads are adjacent in the embedding axis, the projection's
 # NATURAL output — (B, L, H*d), a free reshape of the DenseGeneral result —
 # already has every head's (L, d) plane as a contiguous lane-block slice.
-# These wrappers run the IDENTICAL kernel bodies on that layout: the only
-# change is the BlockSpec index maps, which pick head hi as lane-block hi of
-# the rank-3 (B, L, E) array. The kernel output lands directly in (B, L, E),
+#
+# Mosaic constraint (hardware lowering, chain19): a BlockSpec's LAST dim
+# must be a multiple of 128 lanes or the full array dim — a d=64-wide
+# per-head block of a 512-wide array is rejected. So the packed kernels
+# block _packed_heads_per_block(h, d) heads at a time (2 heads = 128 lanes
+# at the flagship d=64; the full lane width when d doesn't tile 128) and
+# slice each head STATICALLY in-kernel. The per-head math is the exact
+# helper the unpacked kernels call (_relbias_fwd_head/_relbias_bwd_head),
+# and the dropout stream index reproduces the unpacked (H, B)-grid formula
+# per global head, so outputs, grads, and dropout masks are bit-identical
+# to the unpacked path. The kernel output lands directly in (B, L, E),
 # ready for out_proj — no transpose exists in either pass for q/k/v/out or
-# their gradients. Dropout seed offsets use the same (H, B)-grid formula, so
-# the masks are bit-identical to the unpacked kernels.
+# their gradients.
 #
 # Opt-in via VQCPCB_PALLAS_PACKED_QKV until the on-chip A/B lands.
 # =============================================================================
@@ -723,33 +754,114 @@ fused_attention_train_relbias.defvjp(_fused_relbias_fwd, _fused_relbias_bwd)
 
 def use_pallas_packed_qkv() -> bool:
     """Gate for the packed-(B, L, H*d) relbias path (requires the relbias
-    kernel itself to be on). Opt-in until the on-chip A/B lands: the kernels
-    are the SAME code as the unpacked path (bit-identical outputs/grads,
-    tests/test_pallas_attention.py::test_relbias_packed_*) — only the
-    BlockSpec index maps differ — but the strided (L, d) HBM reads this
-    trades the transposes for must be timed before a default flip."""
+    kernel itself to be on). Opt-in until the on-chip A/B lands: the math
+    is the SAME per-head helpers as the unpacked path (bit-identical
+    outputs/grads, tests/test_pallas_attention.py::test_relbias_packed_*)
+    — but the lane-sliced head reads this trades the transposes for must
+    be timed before a default flip."""
     return (os.environ.get("VQCPCB_PALLAS_PACKED_QKV", "0") == "1"
             and use_pallas_relbias())
 
 
-def _relbias_specs_packed(t, s, d, wp):
-    """Blocks for (B, L, H*d) arrays: head hi = lane-block hi (index maps
-    count in block units, so index hi on a d-wide block = element offset
-    hi*d). Block shapes match _relbias_specs, so the kernel bodies are
-    shared verbatim."""
+def _packed_heads_per_block(h, d):
+    """Heads per packed lane block. 128//d heads (one 128-lane tile) when d
+    tiles 128 and divides the head count; 1 when d is already lane-aligned;
+    else the full lane width (block == array dim — always Mosaic-legal,
+    used by the small-dim tests and exotic head dims)."""
+    if d % 128 == 0:
+        return 1
+    if 128 % d == 0 and h % (128 // d) == 0:
+        return 128 // d
+    return h
+
+
+def _relbias_specs_packed(t, s, d, wp, hpb):
+    """Blocks for (B, L, H*d) arrays: grid step hi covers heads
+    [hi*hpb, (hi+1)*hpb) as one contiguous (hpb*d)-lane block (index maps
+    count in block units). The kernels slice individual heads statically."""
+    hb = hpb * d
     return [
         pl.BlockSpec(memory_space=pltpu.SMEM),                       # seed
-        pl.BlockSpec((1, t, d), lambda hi, bi: (bi, 0, hi),
+        pl.BlockSpec((1, t, hb), lambda hi, bi: (bi, 0, hi),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, s, d), lambda hi, bi: (bi, 0, hi),
+        pl.BlockSpec((1, s, hb), lambda hi, bi: (bi, 0, hi),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, s, d), lambda hi, bi: (bi, 0, hi),
+        pl.BlockSpec((1, s, hb), lambda hi, bi: (bi, 0, hi),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((t, s), lambda hi, bi: (0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, wp, d), lambda hi, bi: (hi, 0, 0),
+        pl.BlockSpec((hpb, wp, d), lambda hi, bi: (hi, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
+
+
+def _relbias_fwd_kernel_packed(seed_ref, q_ref, k_ref, v_ref, mask_ref,
+                               e_ref, out_ref, *, hpb, dropout_rate,
+                               dot_dtype, ratio, src_len, nbits):
+    d = e_ref.shape[-1]
+    nb = pl.num_programs(1)
+    base = seed_ref[0] + pl.program_id(1)
+    outs = []
+    for hi in range(hpb):
+        step = base + (pl.program_id(0) * hpb + hi) * nb
+        outs.append(_relbias_fwd_head(
+            q_ref[0][:, hi * d:(hi + 1) * d],
+            k_ref[0][:, hi * d:(hi + 1) * d],
+            v_ref[0][:, hi * d:(hi + 1) * d],
+            mask_ref[:], e_ref[hi], step,
+            dropout_rate=dropout_rate, dot_dtype=dot_dtype, ratio=ratio,
+            src_len=src_len, nbits=nbits))
+    out = outs[0] if hpb == 1 else jnp.concatenate(outs, axis=-1)
+    out_ref[0] = out.astype(out_ref.dtype)
+
+
+def _relbias_bwd_kernel_packed(seed_ref, q_ref, k_ref, v_ref, mask_ref,
+                               e_ref, do_ref, dq_ref, dk_ref, dv_ref,
+                               dmask_ref, de_ref, *, hpb, dropout_rate,
+                               dot_dtype, ratio, src_len, nbits):
+    d = e_ref.shape[-1]
+    nb = pl.num_programs(1)
+    base = seed_ref[0] + pl.program_id(1)
+    b_idx = pl.program_id(1)
+    dqs, dks, dvs = [], [], []
+    ds_acc = None
+    for hi in range(hpb):
+        step = base + (pl.program_id(0) * hpb + hi) * nb
+        dq, dk, dv, ds, de = _relbias_bwd_head(
+            q_ref[0][:, hi * d:(hi + 1) * d],
+            k_ref[0][:, hi * d:(hi + 1) * d],
+            v_ref[0][:, hi * d:(hi + 1) * d],
+            mask_ref[:], e_ref[hi],
+            do_ref[0][:, hi * d:(hi + 1) * d], step,
+            dropout_rate=dropout_rate, dot_dtype=dot_dtype, ratio=ratio,
+            src_len=src_len, nbits=nbits)
+        dqs.append(dq)
+        dks.append(dk)
+        dvs.append(dv)
+        ds_acc = ds if ds_acc is None else ds_acc + ds
+
+        @pl.when(b_idx == 0)
+        def _init_de(de=de, hi=hi):
+            de_ref[hi] = de
+
+        @pl.when(b_idx > 0)
+        def _acc_de(de=de, hi=hi):
+            de_ref[hi] = de_ref[hi] + de
+
+    cat = (lambda xs: xs[0]) if hpb == 1 else (
+        lambda xs: jnp.concatenate(xs, axis=-1))
+    dq_ref[0] = cat(dqs).astype(dq_ref.dtype)
+    dk_ref[0] = cat(dks).astype(dk_ref.dtype)
+    dv_ref[0] = cat(dvs).astype(dv_ref.dtype)
+    i = pl.program_id(0) * nb + pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _init_mask():
+        dmask_ref[:] = ds_acc
+
+    @pl.when(i > 0)
+    def _acc_mask():
+        dmask_ref[:] = dmask_ref[:] + ds_acc
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
@@ -776,14 +888,16 @@ def _fused_relbias_packed_fwd(dropout_rate, interpret, num_heads, seed,
     s = k.shape[1]
     assert e1.shape == (h, s, d), (e1.shape, (h, s, d))
     wp, nbits, ratio = _relbias_geometry(t, s)
+    hpb = _packed_heads_per_block(h, d)
     epk = _relbias_pack_e(e1, e2, wp)
     out = pl.pallas_call(
-        functools.partial(_relbias_fwd_kernel, dropout_rate=dropout_rate,
+        functools.partial(_relbias_fwd_kernel_packed, hpb=hpb,
+                          dropout_rate=dropout_rate,
                           dot_dtype=_dots_dtype(), ratio=ratio, src_len=s,
                           nbits=nbits),
-        grid=(h, b),
-        in_specs=_relbias_specs_packed(t, s, d, wp),
-        out_specs=pl.BlockSpec((1, t, d), lambda hi, bi: (bi, 0, hi),
+        grid=(h // hpb, b),
+        in_specs=_relbias_specs_packed(t, s, d, wp, hpb),
+        out_specs=pl.BlockSpec((1, t, hpb * d), lambda hi, bi: (bi, 0, hi),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, t, e_dim), q.dtype),
         interpret=interpret,
@@ -801,25 +915,28 @@ def _fused_relbias_packed_bwd(dropout_rate, interpret, num_heads, residuals,
     s = k.shape[1]
     wp = epk.shape[1]
     _, nbits, ratio = _relbias_geometry(t, s)
+    hpb = _packed_heads_per_block(h, d)
+    hb = hpb * d
     dq, dk, dv, dmask, de = pl.pallas_call(
-        functools.partial(_relbias_bwd_kernel, dropout_rate=dropout_rate,
+        functools.partial(_relbias_bwd_kernel_packed, hpb=hpb,
+                          dropout_rate=dropout_rate,
                           dot_dtype=_dots_dtype(), ratio=ratio, src_len=s,
                           nbits=nbits),
-        grid=(h, b),
-        in_specs=_relbias_specs_packed(t, s, d, wp) + [
-            pl.BlockSpec((1, t, d), lambda hi, bi: (bi, 0, hi),
+        grid=(h // hpb, b),
+        in_specs=_relbias_specs_packed(t, s, d, wp, hpb) + [
+            pl.BlockSpec((1, t, hb), lambda hi, bi: (bi, 0, hi),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, t, d), lambda hi, bi: (bi, 0, hi),
+            pl.BlockSpec((1, t, hb), lambda hi, bi: (bi, 0, hi),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s, d), lambda hi, bi: (bi, 0, hi),
+            pl.BlockSpec((1, s, hb), lambda hi, bi: (bi, 0, hi),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s, d), lambda hi, bi: (bi, 0, hi),
+            pl.BlockSpec((1, s, hb), lambda hi, bi: (bi, 0, hi),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((t, s), lambda hi, bi: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, wp, d), lambda hi, bi: (hi, 0, 0),
+            pl.BlockSpec((hpb, wp, d), lambda hi, bi: (hi, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
