@@ -222,6 +222,9 @@ def test_mha_training_path_uses_fused_kernel(monkeypatch):
     from vqcpcb_tpu.ops.attention import MultiheadAttention
 
     monkeypatch.setattr(pa, "use_pallas_attention_train", lambda: True)
+    # this test pins the UNPACKED routing; the packed default (r4 ON) is
+    # covered by test_mha_training_path_uses_packed_kernel
+    monkeypatch.setattr(pa, "use_pallas_packed_qkv", lambda: False)
     orig = pa.fused_attention_train
     orig_rb = pa.fused_attention_train_relbias
 
@@ -347,6 +350,8 @@ def test_mha_training_path_uses_relbias_kernel(monkeypatch):
 
     monkeypatch.setattr(pa, "use_pallas_attention_train", lambda: True)
     monkeypatch.setattr(pa, "use_pallas_relbias", lambda: True)
+    # pin the UNPACKED routing (packed default r4 ON has its own test)
+    monkeypatch.setattr(pa, "use_pallas_packed_qkv", lambda: False)
     calls = []
     orig = pa.fused_attention_train_relbias
 
