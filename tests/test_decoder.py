@@ -263,6 +263,10 @@ def test_remat_composes_with_relbias_kernel(monkeypatch):
     monkeypatch.setenv("VQCPCB_PALLAS_BF16_DOTS", "0")  # exact-f32 dots
     monkeypatch.setattr(pa, "use_pallas_attention_train", lambda: True)
     monkeypatch.setattr(pa, "use_pallas_relbias", lambda: True)
+    # pin the UNPACKED routing (the packed default-ON path has its own
+    # compose test below) — otherwise the unpatched packed kernel lowers
+    # compiled on CPU
+    monkeypatch.setattr(pa, "use_pallas_packed_qkv", lambda: False)
     # the Mosaic CPU interpreter (InterpretParams) runs via an ordered-IO
     # callback that remat cannot partial-eval — an interpret-only artifact
     # (the compiled TPU kernel has no such effect; on-chip remat+fused runs
