@@ -24,7 +24,18 @@ def main():
     import optax
 
     from __graft_entry__ import _flagship_decoder
+    from vqcpcb_tpu.ops import compute_dtype, default_compute_dtype
+    from vqcpcb_tpu.training.decoder_trainer import _train_compute_default
 
+    # Measure the SHIPPING config: DecoderTrainer.train_model scopes decoder
+    # training to bf16 dense compute on TPU (BENCHMARKS.md round-4 cont.);
+    # this bench jits the step directly, so apply the same scope here. An
+    # explicit VQCPCB_COMPUTE_DTYPE (even "") still wins, as in the trainer.
+    with default_compute_dtype(_train_compute_default()):
+        _bench(jax, jnp, optax, _flagship_decoder, compute_dtype)
+
+
+def _bench(jax, jnp, optax, _flagship_decoder, compute_dtype):
     batch = int(os.environ.get("BENCH_DEC_BATCH", "32"))
     steps = int(os.environ.get("BENCH_DEC_STEPS", "20"))
     decoder = _flagship_decoder()
@@ -83,6 +94,8 @@ def main():
         "device": jax.devices()[0].platform,
         "pallas_train": os.environ.get("VQCPCB_PALLAS_ATTENTION_TRAIN", "1"),
         "pallas_relbias": os.environ.get("VQCPCB_PALLAS_RELBIAS", "1"),
+        "compute_dtype": (jnp.dtype(compute_dtype()).name
+                          if compute_dtype() else "float32"),
     }))
 
 
