@@ -3,8 +3,11 @@
 
 Regression guard for the relative-bias skew implementation: a gather-based
 bias made the backward scatter-bound (~7 s/step in-CLI on v5e); the
-pad/reshape skew keeps it matmul-bound (~46 ms/step, 41% of f32 peak —
-cross-checked against XLA cost analysis in scripts/roofline.py).
+pad/reshape skew keeps it matmul-bound. Shipping defaults (bf16 compute +
+packed in-kernel relbias, r4): 23.1 ms/step bf16 / 27.3 ms f32 at batch 32
+(BENCHMARKS.md "Decoder training"). The historical f32 XLA-skew figure was
+~46 ms/step, 41% of f32 peak — cross-checked against XLA cost analysis in
+scripts/roofline.py.
 
 Run: python scripts/bench_decoder_train.py
 """
@@ -64,9 +67,10 @@ def _bench(jax, jnp, optax, _flagship_decoder, compute_dtype):
         params, opt_state, loss = step(params, opt_state, source, target, sub)
     float(jax.device_get(loss))
     # device_get-anchored timing: block_until_ready can return early on this
-    # remote platform (chain-length slope experiments give 46 ms/step at
-    # batch 32, ~20 TFLOP/s = 41% of f32 peak, consistent with the 928 GFLOP
-    # XLA cost analysis in scripts/roofline.py)
+    # remote platform (chain-length slope experiments validated the method at
+    # the historical f32 46 ms/step point, consistent with the 928 GFLOP XLA
+    # cost analysis in scripts/roofline.py; current shipping defaults measure
+    # 23.1 ms/step bf16 at batch 32)
     t0 = time.perf_counter()
     for _ in range(steps):
         key, sub = jax.random.split(key)

@@ -128,7 +128,9 @@ def get_downscaler(downscaler_type: str, downscaler_kwargs: Dict):
             n_head=downscaler_kwargs["n_head"],
             list_of_num_layers=downscaler_kwargs["list_of_num_layers"],
             dim_feedforward=downscaler_kwargs["dim_feedforward"],
-            dropout=downscaler_kwargs["dropout"])
+            dropout=downscaler_kwargs["dropout"],
+            positional_embedding_size=downscaler_kwargs.get(
+                "positional_embedding_size", 8))
     raise NotImplementedError(downscaler_type)
 
 

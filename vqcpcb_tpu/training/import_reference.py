@@ -8,8 +8,11 @@ the flax Encoder param tree so a reference-trained encoder produces
 same vocabulary (Vocabulary.from_reference_pickle).
 
 Covered: BachCPCDataProcessor embeddings, LstmDownscaler (GRU fwd/bwd +
-output linear), ProductVectorQuantizer codebooks, MlpUpscaler. Transformer
-downscalers can be added by extending KEY_MAPS.
+output linear), ProductVectorQuantizer codebooks, MlpUpscaler, and the
+relative-transformer downscalers (both strided and linear-aggregation
+variants — import_transformer_downscaler below, oracle-tested in
+tests/test_reference_parity.py), plus decoder/prior/teacher/auxiliary-decoder
+importers further down.
 """
 from __future__ import annotations
 
