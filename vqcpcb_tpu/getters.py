@@ -49,6 +49,16 @@ def _corpus_from_config(config: Dict):
     if dataset == "synthetic":
         from vqcpcb_tpu.data.corpora import SyntheticChoraleCorpus
         return SyntheticChoraleCorpus(**config.get("corpus_kwargs", {}))
+    if dataset == "midi":
+        # stdlib Standard-MIDI-File directory corpus (no music21 needed);
+        # corpus_kwargs: midi_root, num_voices=4, max_files=None
+        from vqcpcb_tpu.data.midi import MidiCorpus
+        return MidiCorpus(**config.get("corpus_kwargs", {}))
+    if dataset == "musicxml":
+        # stdlib MusicXML directory corpus (no music21 needed);
+        # corpus_kwargs: xml_root, num_voices=4, max_files=None
+        from vqcpcb_tpu.data.musicxml import MusicXmlCorpus
+        return MusicXmlCorpus(**config.get("corpus_kwargs", {}))
     raise NotImplementedError(
         "If you want to use your own datasets, you need to implement a "
         "corpus backend, data_processor and dataloader")
