@@ -329,6 +329,15 @@ def main():
             record["decoder_sample_tokens_per_sec"] = round(
                 sbatch * n_tok / s_elapsed, 1)
             record["decoder_sample_batch"] = sbatch
+            # measured reference baseline: the ACTUAL torch
+            # generate_from_code_long on this host's CPU at the same
+            # flagship geometry, best num_decodings arm
+            # (scripts/measure_reference_sampler_baseline.py)
+            if (vs_baseline is not None
+                    and "decoder_sample_tokens_per_sec_cpu" in baseline):
+                record["decoder_sample_vs_baseline"] = round(
+                    record["decoder_sample_tokens_per_sec"]
+                    / baseline["decoder_sample_tokens_per_sec_cpu"], 1)
         except Exception as exc:
             print(f"# decoder sampling bench failed: {exc!r}", file=sys.stderr)
 

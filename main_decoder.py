@@ -144,7 +144,11 @@ def main(train, load, overfitted, config_path, reharmonization,
     trainer.init_state(first["x"], lr=config["lr"],
                        schedule_lr=config.get("schedule_lr", False))
     if load:
-        trainer.load(early_stopped=not overfitted)
+        from vqcpcb_tpu.training import checkpoints
+        if (checkpoints.latest_slot(model_dir) is not None
+                or checkpoints.read_step_sidecar(model_dir) is None):
+            trainer.load(early_stopped=not overfitted)
+        # else: mid-first-epoch crash — train_model resumes from the step slot
 
     if train:
         if not load:
@@ -157,7 +161,8 @@ def main(train, load, overfitted, config_path, reharmonization,
             lr=config["lr"],
             schedule_lr=config.get("schedule_lr", False),
             plot=True,
-            num_workers=num_workers)
+            num_workers=num_workers,
+            checkpoint_every_steps=config.get("checkpoint_every_steps"))
 
     for _ in range(num_examples):
         if code_juxtaposition:

@@ -114,7 +114,13 @@ def main(train, load, config_path, num_workers, num_epochs, num_batches):
         trainer.init_state(sample, lr=config["lr"],
                            schedule_lr=config.get("schedule_lr", False),
                            initialize=False)
-        trainer.load(early_stopped=False)
+        from vqcpcb_tpu.training import checkpoints
+        if checkpoints.latest_slot(model_dir) is not None:
+            trainer.load(early_stopped=False)
+        elif checkpoints.read_step_sidecar(model_dir) is None:
+            trainer.load(early_stopped=False)  # surface the missing-ckpt error
+        # else: crash before the first epoch boundary — train_model resumes
+        # from the step checkpoint inside the interrupted epoch
 
     if train:
         if not load:
@@ -130,6 +136,7 @@ def main(train, load, config_path, num_workers, num_epochs, num_batches):
             plot=True,
             num_workers=num_workers,
             initialize=not load,
+            checkpoint_every_steps=config.get("checkpoint_every_steps"),
         )
 
     # ---- cluster exploration (reference: main_encoder.py:100-121) -----------

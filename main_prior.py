@@ -74,7 +74,11 @@ def main(train, load, config_path, do_generate, num_workers, num_epochs):
 
     trainer.init_state(first["x"], lr=config["lr"])
     if load:
-        trainer.load(early_stopped=True)
+        from vqcpcb_tpu.training import checkpoints
+        if (checkpoints.latest_slot(model_dir) is not None
+                or checkpoints.read_step_sidecar(model_dir) is None):
+            trainer.load(early_stopped=True)
+        # else: mid-first-epoch crash — train_model resumes from the step slot
 
     if train:
         if not load:
@@ -86,7 +90,8 @@ def main(train, load, config_path, do_generate, num_workers, num_epochs):
             num_epochs=config["num_epochs"],
             lr=config["lr"],
             plot=True,
-            num_workers=num_workers)
+            num_workers=num_workers,
+            checkpoint_every_steps=config.get("checkpoint_every_steps"))
 
     if do_generate:
         from main_decoder import main as _  # noqa: F401 (doc pointer)

@@ -34,6 +34,15 @@ class DataloaderGenerator:
                     shuffle_val=False):
         raise NotImplementedError
 
+    def reseed(self, epoch_id: int) -> None:
+        """Make the NEXT dataloaders() call a pure function of
+        (base seed, epoch_id): the shuffle order of epoch N is then
+        reproducible after a process restart, which step-level crash-resume
+        (training/loop.py) relies on to skip the already-consumed batches
+        of an interrupted epoch and continue on the same stream."""
+        self._rng = np.random.RandomState(
+            (getattr(self, "_seed", 0) * 1000003 + epoch_id) % (2 ** 31))
+
 
 class BachDataloaderGenerator(DataloaderGenerator):
     def __init__(self, sequences_size: int, corpus=None, cache_root=None,
@@ -45,6 +54,7 @@ class BachDataloaderGenerator(DataloaderGenerator):
             corpus, sequences_size=sequences_size, subdivision=SUBDIVISION,
             cache_root=cache_root)
         self.sequences_size = sequences_size
+        self._seed = seed
         self._rng = np.random.RandomState(seed)
 
     def dataloaders(self, batch_size, num_workers=0, shuffle_train=True,
@@ -136,6 +146,7 @@ class BachCPCDataloaderGenerator(DataloaderGenerator):
         self.negative_sampling_method = negative_sampling_method
         self.num_negative_samples = num_negative_samples
         self.num_channels = NUM_VOICES
+        self._seed = seed
         self._rng = np.random.RandomState(seed)
 
         if corpus is None:

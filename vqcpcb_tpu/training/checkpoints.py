@@ -109,3 +109,71 @@ def latest_slot(model_dir: str) -> Optional[str]:
         if os.path.exists(os.path.join(model_dir, slot)):
             return slot
     return None
+
+
+# ---------------------------------------------------------------------------
+# Step-level (mid-epoch) checkpointing
+#
+# The epoch-granular policy above loses everything since the last epoch
+# boundary on a crash — with ~39-minute steady-state epochs and a backend
+# showing multi-hour UNAVAILABLE windows (round-4 chain C1 lost >2.5 h of
+# epoch-2 training to a stall), that is operationally expensive. A third
+# slot, `step_checkpoint/`, holds the full TrainState every N train steps
+# together with a sidecar JSON recording the epoch, the number of batches
+# consumed, the trainer RNG key, and the partial epoch-metric sums, so
+# `-t -l` resumes INSIDE the epoch (training/loop.py). The slot is cleared
+# at each epoch boundary — the reference two-slot policy stays intact.
+# ---------------------------------------------------------------------------
+
+STEP_SLOT = "step_checkpoint"
+
+
+def _step_dir(model_dir: str) -> str:
+    return os.path.join(os.path.abspath(model_dir), STEP_SLOT)
+
+
+def _step_sidecar_path(model_dir: str) -> str:
+    return os.path.join(os.path.abspath(model_dir), "step_checkpoint.json")
+
+
+def save_step_state(model_dir: str, state: Any, info: dict) -> None:
+    """Checkpoint the full TrainState mid-epoch plus a sidecar describing
+    the position. The sidecar is written AFTER the state save succeeds, so
+    a crash during the save leaves the previous consistent pair in place
+    (orbax replaces the directory atomically)."""
+    import json
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(_step_dir(model_dir), jax.device_get(state), force=True)
+    tmp = _step_sidecar_path(model_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(info, f)
+    os.replace(tmp, _step_sidecar_path(model_dir))
+
+
+def read_step_sidecar(model_dir: str) -> Optional[dict]:
+    import json
+    path = _step_sidecar_path(model_dir)
+    if not (os.path.exists(path) and os.path.exists(_step_dir(model_dir))):
+        return None
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except (ValueError, OSError):
+        return None
+
+
+def load_step_state(model_dir: str, target: Any) -> Any:
+    ckptr = ocp.PyTreeCheckpointer()
+    target = jax.device_get(target)
+    restore_args = ocp.checkpoint_utils.construct_restore_args(target)
+    return ckptr.restore(_step_dir(model_dir), item=target,
+                         restore_args=restore_args)
+
+
+def clear_step_state(model_dir: str) -> None:
+    import shutil
+    for path in (_step_dir(model_dir), _step_sidecar_path(model_dir)):
+        if os.path.isdir(path):
+            shutil.rmtree(path, ignore_errors=True)
+        elif os.path.exists(path):
+            os.remove(path)
