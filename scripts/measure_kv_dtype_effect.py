@@ -1,4 +1,4 @@
-"""bf16 KV-cache quality evidence (VERDICT r2 #9): does VQCPCB_KV_DTYPE=
+"""KV-cache dtype quality evidence (bf16: VERDICT r2 #9; int8 arm: r5 — set KV_BENCH_ARMS=f32,bf16,int8): does VQCPCB_KV_DTYPE=
 bfloat16 change what the sampler DECODES, and does it change the quality of
 sampled output as judged by the f32 model?
 
@@ -45,12 +45,16 @@ def main():
         src, toks)
     n_tok = 96 * 4
 
+    arm_names = os.environ.get("KV_BENCH_ARMS", "f32,bf16").split(",")
+    arm_dtypes = {"f32": "float32", "bf16": "bfloat16", "int8": "int8"}
+
     def build_arms(temperature, top_k, top_p):
         """VQCPCB_KV_DTYPE is read at TRACE time (decoder.py:305-308), so
         each arm gets its own jit wrapper traced under its env value."""
         arms = {}
-        # explicit values both arms: since r3 the TPU *default* is bfloat16
-        for name, dt in (("f32", "float32"), ("bf16", "bfloat16")):
+        # explicit values every arm: since r3 the TPU *default* is bfloat16
+        for name in arm_names:
+            dt = arm_dtypes[name]
             os.environ["VQCPCB_KV_DTYPE"] = dt
             fn = jax.jit(lambda p, s, t, r, _temp=temperature, _k=top_k,
                          _p=top_p: decoder.apply(
@@ -64,20 +68,22 @@ def main():
     record = {"batch": batch, "tokens": batch * n_tok}
 
     greedy = build_arms(1.0, 1, 0.0)
-    record["greedy_agreement"] = float(
-        (greedy["f32"] == greedy["bf16"]).mean())
-
     sampled = build_arms(0.8, 0, 0.95)
-    record["sampled_agreement_same_rng"] = float(
-        (sampled["f32"] == sampled["bf16"]).mean())
+    for name in arm_names:
+        if name == "f32":
+            continue
+        record[f"greedy_agreement_{name}"] = float(
+            (greedy["f32"] == greedy[name]).mean())
+        record[f"sampled_agreement_same_rng_{name}"] = float(
+            (sampled["f32"] == sampled[name]).mean())
 
     # NLL of each arm's decodings under the F32 full forward
     nll = jax.jit(lambda p, s, t: decoder.apply(p, s, t)["loss"])
-    for name in ("f32", "bf16"):
+    for name in arm_names:
         record[f"nll_of_{name}_samples_under_f32_model"] = round(
             float(jax.device_get(nll(dvars, src,
                                      jnp.asarray(sampled[name])))), 6)
-    for name in ("f32", "bf16"):
+    for name in arm_names:
         record[f"nll_of_{name}_greedy_under_f32_model"] = round(
             float(jax.device_get(nll(dvars, src,
                                      jnp.asarray(greedy[name])))), 6)

@@ -192,6 +192,50 @@ def test_bf16_kv_cache_knob(monkeypatch):
                                rtol=0.05, atol=0.05)
 
 
+def test_int8_kv_cache_knob(monkeypatch):
+    """VQCPCB_KV_DTYPE=int8 stores per-row-quantized caches (data int8 +
+    f32 scale tuples) — half the bf16 bytes. The step's logits must stay
+    within quantization tolerance of f32, and the full sampler must run
+    end-to-end with the tuple caches (dynamic updates, chunked prefixes)."""
+    decoder = make_decoder()
+    params, source, _ = init_decoder(decoder)
+    tokens = jnp.asarray(np.random.RandomState(7).randint(
+        0, 5, size=(2, NUM_EVENTS, 4)), dtype=jnp.int32)
+
+    def logits_at(module, source, tokens, t):
+        caches, crosses = module.prefill(source, tokens)
+        tokens_flat = tokens.reshape(tokens.shape[0], -1)
+        prev = tokens_flat[:, t - 1]
+        x_t = module._embed_input_at(prev, jnp.int32(t))[:, None, :]
+        out, new_caches = module._decode_one(x_t, caches, crosses, jnp.int32(t))
+        return module._head_logits_at(out[:, 0], jnp.int32(t)), caches
+
+    t = 13
+    ref_logits, _ = decoder.apply(params, source, tokens, t, method=logits_at)
+
+    monkeypatch.setenv("VQCPCB_KV_DTYPE", "int8")
+    got_logits, got_caches = decoder.apply(
+        params, source, tokens, t, method=logits_at)
+    assert isinstance(got_caches[0][0], tuple)
+    assert got_caches[0][0][0].dtype == jnp.int8
+    assert got_caches[0][0][1].dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(got_logits[:, :VOCABS[t % 4]]),
+                               np.asarray(ref_logits[:, :VOCABS[t % 4]]),
+                               rtol=0.15, atol=0.15)
+
+    # full sampler end-to-end with int8 caches (tuple carries through the
+    # scan + chunked prefix resize), and high greedy agreement with f32
+    monkeypatch.delenv("VQCPCB_KV_DTYPE", raising=False)
+    tokens_init = jnp.zeros((2, NUM_EVENTS, 4), dtype=jnp.int32)
+    args = (source, tokens_init, jnp.int32(0), NUM_EVENTS * 4,
+            jax.random.PRNGKey(0), 1.0, 1, 0.0)
+    want = decoder.apply(params, *args, method=Decoder.sample_range)
+    monkeypatch.setenv("VQCPCB_KV_DTYPE", "int8")
+    got = decoder.apply(params, *args, method=Decoder.sample_range)
+    agreement = (np.asarray(got) == np.asarray(want)).mean()
+    assert agreement > 0.9, agreement
+
+
 def test_kv_cache_dtype_policy(monkeypatch):
     """Backend-conditional default (bf16 on TPU only — measured
     quality-neutral, scripts/measure_kv_dtype_effect.py) with explicit env

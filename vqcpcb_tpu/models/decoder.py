@@ -33,6 +33,26 @@ from vqcpcb_tpu.utils import flatten, kv_cache_dtype
 ATTENTION_NAME_MAPPINGS = dict(anticausal="AC", causal="C", full="F", diagonal="D")
 
 
+def _quantize_kv(x: jnp.ndarray):
+    """Per-row symmetric int8: (..., S, hd) -> ((..., S, hd) int8,
+    (..., S, 1) f32 scale). Rows are whole cached positions, so the decode
+    step's dequant is one broadcast multiply that fuses into its matvec —
+    HBM still only moves int8 data + one scale per row."""
+    scale = jnp.max(jnp.abs(x), axis=-1, keepdims=True) / 127.0
+    scale = jnp.maximum(scale, 1e-8).astype(jnp.float32)
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127)
+    return q.astype(jnp.int8), scale
+
+
+def dequantize_kv(cache):
+    """Inverse of _quantize_kv for tuple caches; passes arrays through (the
+    f32/bf16 cache formats). Used by attention.step / transformer steps."""
+    if isinstance(cache, tuple):
+        data, scale = cache
+        return data.astype(jnp.float32) * scale
+    return cache
+
+
 class Decoder(nn.Module):
     data_processor: DataProcessor
     transformer_type: str                  # 'absolute' | 'relative'
@@ -313,7 +333,9 @@ class Decoder(nn.Module):
         caches, crosses = [], []
         for layer in self.decoder_transformer.layers:
             out, (k, v), cross = layer.capture(out, memory, tgt_mask, mem_mask)
-            if cache_dt is not None:
+            if cache_dt == jnp.int8:
+                k, v = _quantize_kv(k), _quantize_kv(v)
+            elif cache_dt is not None:
                 k, v = k.astype(cache_dt), v.astype(cache_dt)
             caches.append((k, v))
             crosses.append(cross)
@@ -338,10 +360,20 @@ class Decoder(nn.Module):
         for layer, (k_cache, v_cache), cross in zip(
                 self.decoder_transformer.layers, caches, crosses):
             k_t, v_t = layer.self_attn.project_kv(out)      # (B, H, 1, hd)
-            k_cache = jax.lax.dynamic_update_slice_in_dim(
-                k_cache, k_t.astype(k_cache.dtype), t, axis=2)
-            v_cache = jax.lax.dynamic_update_slice_in_dim(
-                v_cache, v_t.astype(v_cache.dtype), t, axis=2)
+
+            def upd(cache, new):
+                if isinstance(cache, tuple):                # int8 + scale
+                    data, scale = cache
+                    q_t, s_t = _quantize_kv(new)
+                    return (jax.lax.dynamic_update_slice_in_dim(
+                                data, q_t, t, axis=2),
+                            jax.lax.dynamic_update_slice_in_dim(
+                                scale, s_t, t, axis=2))
+                return jax.lax.dynamic_update_slice_in_dim(
+                    cache, new.astype(cache.dtype), t, axis=2)
+
+            k_cache = upd(k_cache, k_t)
+            v_cache = upd(v_cache, v_t)
             if aligned:
                 cross_t = jax.lax.dynamic_slice_in_dim(cross, t, 1, axis=1)
                 out = layer.step(out, k_cache, v_cache, cross_t, t,
@@ -427,6 +459,8 @@ class Decoder(nn.Module):
             chunk = num_steps
 
         def resize(a, n):
+            if isinstance(a, tuple):                # int8 (data, scale)
+                return tuple(resize(part, n) for part in a)
             if a.shape[2] > n:
                 return a[:, :, :n]
             if a.shape[2] < n:

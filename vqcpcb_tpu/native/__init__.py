@@ -1,28 +1,73 @@
 """ctypes bindings for the native host-pipeline kernels (tokenizer.cpp).
 
 `lib()` returns the loaded shared library or None; callers fall back to the
-NumPy implementations. Build with scripts/build_native.sh.
+NumPy implementations. The library is BUILT ON DEMAND into a
+content-addressed cache (~/.cache/vqcpcb_tpu/libvqcpcb_native-<src-hash>.so,
+override dir with VQCPCB_NATIVE_CACHE) — no binary ships in the tree, and a
+source edit can never silently run against a stale build because the hash
+changes the path. VQCPCB_NATIVE=0 disables the native path entirely;
+scripts/build_native.sh pre-builds the same cache path without Python.
 """
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
+import subprocess
 from typing import Optional
 
 import numpy as np
 
-_LIB_PATH = os.path.join(os.path.dirname(__file__), "libvqcpcb_native.so")
+_SRC_PATH = os.path.join(os.path.dirname(__file__), "tokenizer.cpp")
 _lib = None
 _tried = False
+
+
+def _cache_dir() -> str:
+    return os.environ.get(
+        "VQCPCB_NATIVE_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "vqcpcb_tpu"))
+
+
+def lib_path() -> str:
+    """Content-addressed build product path for the current source."""
+    with open(_SRC_PATH, "rb") as f:
+        src_hash = hashlib.sha1(f.read()).hexdigest()[:12]
+    return os.path.join(_cache_dir(), f"libvqcpcb_native-{src_hash}.so")
+
+
+def build() -> Optional[str]:
+    """Compile tokenizer.cpp into the cache (no-op when already built for
+    this exact source). Returns the library path, or None when no compiler
+    is available / the build fails."""
+    path = lib_path()
+    if os.path.exists(path):
+        return path
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = f"{path}.tmp{os.getpid()}"
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", "-o", tmp, _SRC_PATH],
+            check=True, capture_output=True)
+    except (OSError, subprocess.CalledProcessError):
+        return None
+    os.replace(tmp, path)          # atomic under concurrent builders
+    return path
 
 
 def lib() -> Optional[ctypes.CDLL]:
     global _lib, _tried
     if not _tried:
         _tried = True
-        if os.path.exists(_LIB_PATH):
-            _lib = ctypes.CDLL(_LIB_PATH)
-            _declare(_lib)
+        if os.environ.get("VQCPCB_NATIVE", "1") == "0":
+            return None
+        path = os.environ.get("VQCPCB_NATIVE_LIB") or build()
+        if path and os.path.exists(path):
+            try:
+                _lib = ctypes.CDLL(path)
+                _declare(_lib)
+            except OSError:
+                _lib = None     # wrong arch etc. — NumPy fallback
     return _lib
 
 

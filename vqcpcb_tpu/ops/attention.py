@@ -347,6 +347,13 @@ class MultiheadAttention(nn.Module):
           (B, 1, E) attention output.
         """
         q = self.project_q(query_t)[:, :, 0, :]            # (B, H, hd)
+        # int8 caches arrive as (data, per-row scale) tuples
+        # (models/decoder._quantize_kv); the dequant broadcast-multiply fuses
+        # into the matvec below, so HBM still only moves int8 rows + scales
+        if isinstance(k_cache, tuple):
+            k_cache = k_cache[0].astype(jnp.float32) * k_cache[1]
+        if isinstance(v_cache, tuple):
+            v_cache = v_cache[0].astype(jnp.float32) * v_cache[1]
         # the per-(b,h) matvec contractions here lower off the MXU already
         # (an explicit broadcast-multiply-reduce variant measured EXACTLY
         # the same, BENCHMARKS.md); the step's real cost was the bias-row

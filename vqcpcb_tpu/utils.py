@@ -52,10 +52,16 @@ def kv_cache_dtype():
         return jnp.bfloat16
     if env in ("float32", "f32", "fp32"):
         return None
+    if env in ("int8", "i8"):
+        # per-row symmetric int8 quantization (opt-in): each cached K/V row
+        # stores int8 data + one f32 scale — half the bf16 cache bytes; the
+        # dequant multiply fuses into the step's matvec. Quality judged by
+        # scripts/measure_kv_dtype_effect.py --arms int8.
+        return jnp.int8
     if env:  # typo'd overrides must not silently fall to the default
         raise ValueError(
-            f"VQCPCB_KV_DTYPE={env!r}: use 'bfloat16'/'bf16' or "
-            "'float32'/'f32'")
+            f"VQCPCB_KV_DTYPE={env!r}: use 'bfloat16'/'bf16', "
+            "'float32'/'f32' or 'int8'")
     return jnp.bfloat16 if jax.default_backend() == "tpu" else None
 
 
