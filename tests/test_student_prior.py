@@ -255,6 +255,28 @@ def test_prior_kv_sampler_chunked_prefix_caches(monkeypatch):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+def test_prior_kv_sampler_int8_cache_knob(monkeypatch):
+    """VQCPCB_KV_DTYPE=int8 routes the prior's caches through the shared
+    tuple format (ops/kv_cache.py) end to end: prefill quantizes, step
+    updates in-format, chunked resize keeps tuples, and greedy decodes stay
+    in near-total agreement with the f32-cache arm."""
+    from vqcpcb_tpu.models.prior import PriorRelative
+
+    prior = _make_prior()
+    x0 = jnp.zeros((3, 12), dtype=jnp.int32)
+    params = prior.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        x0)
+
+    args = (x0, jnp.int32(0), 12, jax.random.PRNGKey(0), 1.0, 1)
+    want = prior.apply(params, *args, method=PriorRelative.sample_window)
+    monkeypatch.setenv("VQCPCB_KV_DTYPE", "int8")
+    monkeypatch.setenv("VQCPCB_SAMPLER_CHUNK", "5")  # resize path, in-format
+    got = prior.apply(params, *args, method=PriorRelative.sample_window)
+    agreement = (np.asarray(got) == np.asarray(want)).mean()
+    assert agreement > 0.9, agreement
+
+
 def test_prior_kv_sampler_fixed_prefix():
     """start>0 keeps the prefix and continues exactly like the naive loop —
     the geometry of the chunked sliding window in generate_codes."""

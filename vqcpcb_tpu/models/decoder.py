@@ -25,32 +25,13 @@ import jax
 import jax.numpy as jnp
 
 from vqcpcb_tpu.models.data_processor import DataProcessor
+from vqcpcb_tpu.ops.kv_cache import cache_resize, cache_update, new_cache
 from vqcpcb_tpu.ops.losses import categorical_crossentropy
 from vqcpcb_tpu.ops.masks import anticausal_mask, causal_mask
 from vqcpcb_tpu.ops.transformer import TransformerDecoder, TransformerEncoder
 from vqcpcb_tpu.utils import flatten, kv_cache_dtype
 
 ATTENTION_NAME_MAPPINGS = dict(anticausal="AC", causal="C", full="F", diagonal="D")
-
-
-def _quantize_kv(x: jnp.ndarray):
-    """Per-row symmetric int8: (..., S, hd) -> ((..., S, hd) int8,
-    (..., S, 1) f32 scale). Rows are whole cached positions, so the decode
-    step's dequant is one broadcast multiply that fuses into its matvec —
-    HBM still only moves int8 data + one scale per row."""
-    scale = jnp.max(jnp.abs(x), axis=-1, keepdims=True) / 127.0
-    scale = jnp.maximum(scale, 1e-8).astype(jnp.float32)
-    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127)
-    return q.astype(jnp.int8), scale
-
-
-def dequantize_kv(cache):
-    """Inverse of _quantize_kv for tuple caches; passes arrays through (the
-    f32/bf16 cache formats). Used by attention.step / transformer steps."""
-    if isinstance(cache, tuple):
-        data, scale = cache
-        return data.astype(jnp.float32) * scale
-    return cache
 
 
 class Decoder(nn.Module):
@@ -333,11 +314,7 @@ class Decoder(nn.Module):
         caches, crosses = [], []
         for layer in self.decoder_transformer.layers:
             out, (k, v), cross = layer.capture(out, memory, tgt_mask, mem_mask)
-            if cache_dt == jnp.int8:
-                k, v = _quantize_kv(k), _quantize_kv(v)
-            elif cache_dt is not None:
-                k, v = k.astype(cache_dt), v.astype(cache_dt)
-            caches.append((k, v))
+            caches.append((new_cache(k, cache_dt), new_cache(v, cache_dt)))
             crosses.append(cross)
         return caches, crosses
 
@@ -360,20 +337,8 @@ class Decoder(nn.Module):
         for layer, (k_cache, v_cache), cross in zip(
                 self.decoder_transformer.layers, caches, crosses):
             k_t, v_t = layer.self_attn.project_kv(out)      # (B, H, 1, hd)
-
-            def upd(cache, new):
-                if isinstance(cache, tuple):                # int8 + scale
-                    data, scale = cache
-                    q_t, s_t = _quantize_kv(new)
-                    return (jax.lax.dynamic_update_slice_in_dim(
-                                data, q_t, t, axis=2),
-                            jax.lax.dynamic_update_slice_in_dim(
-                                scale, s_t, t, axis=2))
-                return jax.lax.dynamic_update_slice_in_dim(
-                    cache, new.astype(cache.dtype), t, axis=2)
-
-            k_cache = upd(k_cache, k_t)
-            v_cache = upd(v_cache, v_t)
+            k_cache = cache_update(k_cache, k_t, t)
+            v_cache = cache_update(v_cache, v_t, t)
             if aligned:
                 cross_t = jax.lax.dynamic_slice_in_dim(cross, t, 1, axis=1)
                 out = layer.step(out, k_cache, v_cache, cross_t, t,
@@ -458,22 +423,11 @@ class Decoder(nn.Module):
         if chunk <= 0:
             chunk = num_steps
 
-        def resize(a, n):
-            if isinstance(a, tuple):                # int8 (data, scale)
-                return tuple(resize(part, n) for part in a)
-            if a.shape[2] > n:
-                return a[:, :, :n]
-            if a.shape[2] < n:
-                pad = jnp.zeros(a.shape[:2] + (n - a.shape[2],) + a.shape[3:],
-                                a.dtype)
-                return jnp.concatenate([a, pad], axis=2)
-            return a
-
         pos = 0
         while pos < num_steps:
             ck = min(chunk, num_steps - pos)
             prefix = min(start + pos + ck, seq_len)
-            caches = [(resize(k, prefix), resize(v, prefix))
+            caches = [(cache_resize(k, prefix), cache_resize(v, prefix))
                       for k, v in caches]
             (tokens_flat, caches, rng), _ = jax.lax.scan(
                 step, (tokens_flat, caches, rng),

@@ -13,6 +13,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from vqcpcb_tpu.ops.kv_cache import cache_resize, cache_update, new_cache
 from vqcpcb_tpu.ops.losses import categorical_crossentropy
 from vqcpcb_tpu.ops.masks import causal_mask
 from vqcpcb_tpu.ops.transformer import TransformerEncoder
@@ -107,9 +108,7 @@ class PriorRelative(nn.Module):
         caches = []
         for layer in self.transformer.layers:
             out, (k, v) = layer.capture(out, src_mask=mask)
-            if cache_dt is not None:
-                k, v = k.astype(cache_dt), v.astype(cache_dt)
-            caches.append((k, v))
+            caches.append((new_cache(k, cache_dt), new_cache(v, cache_dt)))
         return caches
 
     def sample_window(self,
@@ -150,10 +149,8 @@ class PriorRelative(nn.Module):
             for layer, (k_cache, v_cache) in zip(
                     self.transformer.layers, caches):
                 k_t, v_t = layer.self_attn.project_kv(out)
-                k_cache = jax.lax.dynamic_update_slice_in_dim(
-                    k_cache, k_t.astype(k_cache.dtype), t, axis=2)
-                v_cache = jax.lax.dynamic_update_slice_in_dim(
-                    v_cache, v_t.astype(v_cache.dtype), t, axis=2)
+                k_cache = cache_update(k_cache, k_t, t)
+                v_cache = cache_update(v_cache, v_t, t)
                 out = layer.step(out, k_cache, v_cache, t, num_tokens)
                 new_caches.append((k_cache, v_cache))
             logits = self.pre_softmax(out[:, 0])              # (B, V)
@@ -172,21 +169,12 @@ class PriorRelative(nn.Module):
         if chunk <= 0:
             chunk = num_steps
 
-        def resize(a, n):
-            if a.shape[2] > n:
-                return a[:, :, :n]
-            if a.shape[2] < n:
-                pad = jnp.zeros(a.shape[:2] + (n - a.shape[2],) + a.shape[3:],
-                                a.dtype)
-                return jnp.concatenate([a, pad], axis=2)
-            return a
-
         x = x_init
         pos = 0
         while pos < num_steps:
             ck = min(chunk, num_steps - pos)
             prefix = min(start + pos + ck, num_tokens)
-            caches = [(resize(k, prefix), resize(v, prefix))
+            caches = [(cache_resize(k, prefix), cache_resize(v, prefix))
                       for k, v in caches]
             (x, caches, rng), _ = jax.lax.scan(
                 step_fn, (x, caches, rng), jnp.arange(pos, pos + ck))

@@ -348,7 +348,7 @@ class MultiheadAttention(nn.Module):
         """
         q = self.project_q(query_t)[:, :, 0, :]            # (B, H, hd)
         # int8 caches arrive as (data, per-row scale) tuples
-        # (models/decoder._quantize_kv); the dequant broadcast-multiply fuses
+        # (ops/kv_cache.quantize_kv); the dequant broadcast-multiply fuses
         # into the matvec below, so HBM still only moves int8 rows + scales
         if isinstance(k_cache, tuple):
             k_cache = k_cache[0].astype(jnp.float32) * k_cache[1]
