@@ -304,10 +304,11 @@ def main():
             from vqcpcb_tpu.models.decoder import Decoder
 
             # shipping configuration = the best verified production point:
-            # batch 256, full KV heads, bf16 KV caches, chunked prefixes
-            # (chain13 Q1-Q4: GQA's 4x-smaller caches win +21% at batch 64
-            # but lose at 256, where full heads reach 259.6K tokens/s)
-            sbatch = int(os.environ.get("BENCH_SAMPLER_BATCH", "256"))
+            # batch 512, full KV heads, int8 KV caches + fused Pallas
+            # prefill (both default-on for TPU since r5; quality gates in
+            # BENCHMARKS.md round 5 — 423.4K tokens/s at 512, 399.8K at
+            # 256, vs 259.6K for r4's bf16/batch-256 configuration)
+            sbatch = int(os.environ.get("BENCH_SAMPLER_BATCH", "512"))
             decoder = _flagship_decoder()
             src = jnp.asarray(rng.randint(0, 16, size=(sbatch, 24)))
             toks = jnp.zeros((sbatch, 96, 4), dtype=jnp.int32)

@@ -237,10 +237,11 @@ def test_int8_kv_cache_knob(monkeypatch):
 
 
 def test_kv_cache_dtype_policy(monkeypatch):
-    """Backend-conditional default (bf16 on TPU only — measured
-    quality-neutral, scripts/measure_kv_dtype_effect.py) with explicit env
-    overrides in both directions. On this CPU test mesh the default must be
-    f32, which is what keeps the bit-match tests above meaningful."""
+    """Backend-conditional default (int8 on TPU only since r5 — measured
+    quality-neutral on-chip, scripts/measure_kv_dtype_effect.py) with
+    explicit env overrides in every direction. On this CPU test mesh the
+    default must be f32, which is what keeps the bit-match tests above
+    meaningful."""
     from vqcpcb_tpu.utils import kv_cache_dtype
 
     monkeypatch.delenv("VQCPCB_KV_DTYPE", raising=False)
@@ -248,6 +249,8 @@ def test_kv_cache_dtype_policy(monkeypatch):
     assert kv_cache_dtype() is None
     monkeypatch.setenv("VQCPCB_KV_DTYPE", "bfloat16")
     assert kv_cache_dtype() == jnp.bfloat16
+    monkeypatch.setenv("VQCPCB_KV_DTYPE", "int8")
+    assert kv_cache_dtype() == jnp.int8
     monkeypatch.setenv("VQCPCB_KV_DTYPE", "float32")
     assert kv_cache_dtype() is None
 

@@ -305,10 +305,10 @@ class Decoder(nn.Module):
         tgt_mask = causal_mask(t_len)
         mem_mask = self.cross_mask(s_len, t_len)
         # the decode step is HBM-bound on cache reads (BENCHMARKS.md round-2
-        # profile); bf16 caches halve that traffic while scores still
+        # profile); narrow caches cut that traffic while scores still
         # accumulate in f32 (attention.step's preferred_element_type).
-        # Default bf16 on TPU since round 3 — quality-neutral by measurement
-        # (see utils.kv_cache_dtype).
+        # Default int8 (data + per-row scale, ops/kv_cache.py) on TPU since
+        # round 5 — quality-neutral by measurement (utils.kv_cache_dtype).
         cache_dt = kv_cache_dtype()
         out = tgt_seq
         caches, crosses = [], []

@@ -218,12 +218,20 @@ class MultiheadAttention(nn.Module):
         q = self.project_q(query)
         k, v = self.project_kv(key)
 
-        # opt-in fused Pallas path for inference (no dropout, no grad, no
-        # attention-weight output): scores never leave VMEM
+        # fused Pallas path for inference (no dropout, no grad, no
+        # attention-weight output): scores never leave VMEM. Default ON for
+        # TPU since r5 (use_pallas_attention docstring has the quality
+        # evidence). Single-device only: pallas_call has no GSPMD
+        # partitioning rule, so on a multi-device mesh this falls back to
+        # XLA rather than forcing operands replicated (samplers run
+        # per-device; the mesh-sharded paths are the training ones above).
         if not training and not self.grouped:
             from vqcpcb_tpu.ops.pallas_attention import (
                 fused_attention, use_pallas_attention)
-            if use_pallas_attention():
+            from vqcpcb_tpu.parallel import mesh as mesh_lib
+            mesh_ok = (mesh_lib.CURRENT_MESH is None
+                       or mesh_lib.CURRENT_MESH.devices.size == 1)
+            if use_pallas_attention() and mesh_ok:
                 out = fused_attention(q, k, v, attn_mask, self.e1, self.e2)
                 b, h, t, d = out.shape
                 out = out.transpose(0, 2, 1, 3).reshape(b, t, h * d)

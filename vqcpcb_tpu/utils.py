@@ -35,15 +35,18 @@ def unflatten(sequence: jnp.ndarray, num_channels: int) -> jnp.ndarray:
 def kv_cache_dtype():
     """Sampler KV-cache dtype policy (None = keep f32).
 
-    Default on TPU is bfloat16: the decode step is HBM-bound on cache reads
-    (BENCHMARKS.md round-2 profile; bf16 caches measured 1.5-2.2x decode
-    throughput) and the round-3 quality evidence
-    (scripts/measure_kv_dtype_effect.py) found no model-judged cost — 99.3%
-    greedy token agreement and <0.01% NLL delta under the f32 model, with
-    scores still accumulated in f32. Elsewhere (CPU test mesh) the default
-    stays f32 so the greedy KV-scan-vs-full-forward bit-match invariants
-    keep their teeth. Override either way with VQCPCB_KV_DTYPE=
-    bfloat16|float32.
+    Default on TPU is int8 since round 5: each cached K/V row stores int8
+    data + one f32 scale (ops/kv_cache.py) — half the bf16 cache bytes —
+    and the decode step is HBM-bound on cache reads (BENCHMARKS.md round-2
+    profile). The round-5 on-chip quality gate
+    (scripts/measure_kv_dtype_effect.py, KV_BENCH_ARMS=f32,bf16,int8) judged
+    int8 indistinguishable from f32 under the f32 model: 99.22% greedy token
+    agreement (bf16: 99.32%) and <1e-4 relative NLL delta, with attention
+    scores still accumulated in f32. Throughput at the shipping batch-256+
+    points moved 259.6K -> 399.8K tokens/s (BENCHMARKS.md round 5).
+    Elsewhere (CPU test mesh) the default stays f32 so the greedy
+    KV-scan-vs-full-forward bit-match invariants keep their teeth. Override
+    with VQCPCB_KV_DTYPE=bfloat16|float32|int8.
     """
     import jax
 
@@ -53,16 +56,12 @@ def kv_cache_dtype():
     if env in ("float32", "f32", "fp32"):
         return None
     if env in ("int8", "i8"):
-        # per-row symmetric int8 quantization (opt-in): each cached K/V row
-        # stores int8 data + one f32 scale — half the bf16 cache bytes; the
-        # dequant multiply fuses into the step's matvec. Quality judged by
-        # scripts/measure_kv_dtype_effect.py --arms int8.
         return jnp.int8
     if env:  # typo'd overrides must not silently fall to the default
         raise ValueError(
             f"VQCPCB_KV_DTYPE={env!r}: use 'bfloat16'/'bf16', "
             "'float32'/'f32' or 'int8'")
-    return jnp.bfloat16 if jax.default_backend() == "tpu" else None
+    return jnp.int8 if jax.default_backend() == "tpu" else None
 
 
 def dict_pretty_print(d: Dict[str, Any], endstr: str = "\n") -> None:
