@@ -19,8 +19,13 @@ where the overhead lives:
                         what falling back buys/costs at each shape
   shapes              : decoder (384x384) and encoder (24x24) geometry
 
-Timing is jax.device_get-anchored (BENCHMARKS.md methodology) with 3 reps
-after a warmup. Run ONLY as the sole TPU client (CLAUDE.md).
+Timing is jax.device_get-anchored (BENCHMARKS.md methodology). Every timed
+function is wrapped to return ONE scalar (sum of all outputs) so the final
+device_get moves 4 bytes — the first run of this script (chain7 stage A,
+2026-08-20) returned full tensors and the numbers were dominated by tunnel
+transfer (25 MB decoder fwd output, 151 MB XLA bias grad), not compute.
+Reps default to 20 async dispatches per anchor so per-call dispatch
+overhead amortises. Run ONLY as the sole TPU client (CLAUDE.md).
 """
 import functools
 import json
@@ -34,8 +39,22 @@ import jax
 import jax.numpy as jnp
 
 
-def anchored_ms(fn, *args, reps=3):
-    jax.device_get(fn(*args))
+def _scalarize(fn):
+    """Wrap fn so the jitted computation ends in one f32 scalar: device_get
+    then transfers 4 bytes instead of the raw outputs (which reach 151 MB
+    for the XLA bias grad and would swamp compute time in the tunnel)."""
+    def wrapped(*args):
+        out = fn(*args)
+        return jax.tree.reduce(
+            lambda a, b: a + b,
+            jax.tree.map(lambda x: jnp.sum(x.astype(jnp.float32)), out))
+    return wrapped
+
+
+def anchored_ms(fn, *args, reps=20):
+    fn = jax.jit(_scalarize(fn))
+    jax.device_get(fn(*args))  # compile + warm
+    jax.device_get(fn(*args))  # one clean round trip
     t0 = time.perf_counter()
     for _ in range(reps):
         out = fn(*args)

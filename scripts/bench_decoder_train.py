@@ -98,6 +98,7 @@ def _bench(jax, jnp, optax, _flagship_decoder, compute_dtype):
         "device": jax.devices()[0].platform,
         "pallas_train": os.environ.get("VQCPCB_PALLAS_ATTENTION_TRAIN", "1"),
         "pallas_relbias": os.environ.get("VQCPCB_PALLAS_RELBIAS", "1"),
+        "fused_heads": os.environ.get("VQCPCB_FUSED_HEADS", "1"),
         "compute_dtype": (jnp.dtype(compute_dtype()).name
                           if compute_dtype() else "float32"),
     }))

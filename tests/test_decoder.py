@@ -70,6 +70,79 @@ def test_forward_shapes_and_loss(ttype, cross, enc):
         assert out["weights_per_category"][c].shape == (2, NUM_EVENTS, v)
 
 
+@pytest.mark.parametrize("ttype,cross,enc", [
+    ("relative", "anticausal", "anticausal"),
+    ("absolute", "full", "anticausal"),
+])
+def test_fused_output_head_matches_per_channel(monkeypatch, ttype, cross, enc):
+    """VQCPCB_FUSED_HEADS folds the C skinny per-channel output heads into
+    one stacked matmul + stacked-vocab CE (ops/losses.py). The per-channel
+    logits must match the per-channel Dense path and the loss + grads must
+    agree to float-reduction-order tolerance — on UNEQUAL vocab sizes (the
+    offsets/-inf masking are the risky part)."""
+    decoder = make_decoder(ttype, cross, enc)
+    params, source, target = init_decoder(decoder, batch=3)
+
+    def loss_fn(p):
+        return decoder.apply(p, source, target)["loss"]
+
+    monkeypatch.setenv("VQCPCB_FUSED_HEADS", "0")
+    ref = decoder.apply(params, source, target)
+    ref_loss, ref_grads = jax.value_and_grad(loss_fn)(params)
+
+    monkeypatch.setenv("VQCPCB_FUSED_HEADS", "1")
+    got = decoder.apply(params, source, target)
+    got_loss, got_grads = jax.value_and_grad(loss_fn)(params)
+
+    for c in range(len(VOCABS)):
+        np.testing.assert_allclose(
+            np.asarray(got["weights_per_category"][c]),
+            np.asarray(ref["weights_per_category"][c]), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(float(got["loss"]), float(ref["loss"]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(got_loss), float(ref_loss), rtol=1e-5)
+    flat_ref = jax.tree_util.tree_leaves_with_path(ref_grads)
+    flat_got = dict(jax.tree_util.tree_leaves_with_path(got_grads))
+    checked = 0
+    for path, g_ref in flat_ref:
+        g_got = flat_got[path]
+        np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
+                                   rtol=2e-4, atol=2e-5,
+                                   err_msg=jax.tree_util.keystr(path))
+        checked += 1
+    assert checked == len(flat_ref)
+
+
+def test_fused_sampler_head_matches_per_channel(monkeypatch):
+    """The sampler's fused stacked-head matmul (_head_logits_at with
+    VQCPCB_FUSED_HEADS=1, padded columns at -inf bias) must produce exactly
+    the per-channel path's padded logits at every channel position —
+    UNEQUAL vocabs, so the vmax padding/offsets are exercised."""
+    decoder = make_decoder()
+    params, source, _ = init_decoder(decoder)
+    tokens = jnp.asarray(np.random.RandomState(3).randint(
+        0, 5, size=(2, NUM_EVENTS, 4)), dtype=jnp.int32)
+
+    def logits_at(module, source, tokens, t):
+        caches, crosses = module.prefill(source, tokens)
+        tokens_flat = tokens.reshape(tokens.shape[0], -1)
+        prev = tokens_flat[:, t - 1]
+        x_t = module._embed_input_at(prev, jnp.int32(t))[:, None, :]
+        out, _ = module._decode_one(x_t, caches, crosses, jnp.int32(t))
+        return module._head_logits_at(out[:, 0], jnp.int32(t))
+
+    for t in (4, 13, 14, 15, 16):  # cover all 4 channel slots
+        monkeypatch.setenv("VQCPCB_FUSED_HEADS", "0")
+        ref = decoder.apply(params, source, tokens, t, method=logits_at)
+        monkeypatch.setenv("VQCPCB_FUSED_HEADS", "1")
+        got = decoder.apply(params, source, tokens, t, method=logits_at)
+        v = VOCABS[t % 4]
+        np.testing.assert_allclose(np.asarray(got[:, :v]),
+                                   np.asarray(ref[:, :v]),
+                                   rtol=1e-6, atol=1e-6)
+        assert np.all(np.asarray(got[:, v:]) == -np.inf)
+
+
 def naive_greedy(decoder, params, source, tokens_init, start, num_steps):
     """Reference-style sampling: full forward per token, argmax."""
     tokens = np.asarray(tokens_init).copy()

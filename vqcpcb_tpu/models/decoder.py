@@ -18,20 +18,39 @@ decoder.py:777).
 """
 from __future__ import annotations
 
+import os
 from typing import Dict, Optional
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from vqcpcb_tpu.models.data_processor import DataProcessor
+from vqcpcb_tpu.ops import compute_dtype as ops_compute_dtype
 from vqcpcb_tpu.ops.kv_cache import cache_resize, cache_update, new_cache
-from vqcpcb_tpu.ops.losses import categorical_crossentropy
+from vqcpcb_tpu.ops.losses import (categorical_crossentropy,
+                                   stacked_categorical_crossentropy)
 from vqcpcb_tpu.ops.masks import anticausal_mask, causal_mask
 from vqcpcb_tpu.ops.transformer import TransformerDecoder, TransformerEncoder
 from vqcpcb_tpu.utils import flatten, kv_cache_dtype
 
 ATTENTION_NAME_MAPPINGS = dict(anticausal="AC", causal="C", full="F", diagonal="D")
+
+
+def use_fused_output_head() -> bool:
+    """Fuse the C per-channel output heads (reference decoder.py:522-534)
+    into ONE (d_model, sum_c vocab_c) matmul + a stacked-vocab CE.
+
+    The per-channel heads are N ~ 62-wide matmuls — each pads to a 128-lane
+    MXU tile, wasting half the array, and each drags its own log_softmax /
+    one-hot kernel behind it. The fused path computes bit-equal per-channel
+    logits (kernels concatenated column-wise, so each output column is the
+    same d_model-deep dot product) and a CE identical up to float reduction
+    order (ops/losses.py:stacked_categorical_crossentropy). Parameter layout
+    is untouched: pre_softmax_{c}/kernel|bias stay the checkpoint/importer
+    contract. Set VQCPCB_FUSED_HEADS=0 to restore the per-channel path."""
+    return os.environ.get("VQCPCB_FUSED_HEADS", "1") == "1"
 
 
 class Decoder(nn.Module):
@@ -135,8 +154,11 @@ class Decoder(nn.Module):
             layer_kwargs=layer_kwargs,
             aligned=aligned)
 
+        # dtype=compute_dtype(): the output heads join the bf16 dense-compute
+        # scope (r4 adjudication) — logits are cast back to f32 before the
+        # log_softmax inside the CE ops, the standard mixed-precision split.
         self.pre_softmaxes = [
-            nn.Dense(v, name=f"pre_softmax_{c}")
+            nn.Dense(v, dtype=ops_compute_dtype(), name=f"pre_softmax_{c}")
             for c, v in enumerate(self.data_processor.num_tokens_per_channel)
         ]
 
@@ -220,12 +242,30 @@ class Decoder(nn.Module):
             collect_attentions=collect_attentions)
 
         output = output.reshape(b, -1, self.num_channels_decoder, self.d_model)
-        weights_per_category = [
-            head(output[:, :, c, :]) for c, head in enumerate(self.pre_softmaxes)
-        ]
-        loss = categorical_crossentropy(
-            value=weights_per_category, target=target,
-            mask=jnp.ones_like(target))
+        vocab_sizes = tuple(self.data_processor.num_tokens_per_channel)
+        if use_fused_output_head() and not self.is_initializing():
+            kernels = [h.variables["params"]["kernel"] for h in self.pre_softmaxes]
+            biases = [h.variables["params"]["bias"] for h in self.pre_softmaxes]
+            w = jnp.concatenate(kernels, axis=1)          # (d_model, sum vocab)
+            bias = jnp.concatenate(biases)
+            cd = ops_compute_dtype()
+            if cd is not None:  # same cast rule as nn.Dense(dtype=cd)
+                output, w, bias = (output.astype(cd), w.astype(cd),
+                                   bias.astype(cd))
+            stacked = output @ w + bias                   # (B, E, C, sum vocab)
+            offsets = np.concatenate([[0], np.cumsum(vocab_sizes)[:-1]])
+            weights_per_category = [
+                stacked[:, :, c, offsets[c]:offsets[c] + v]
+                for c, v in enumerate(vocab_sizes)]
+            loss = stacked_categorical_crossentropy(
+                stacked, target, vocab_sizes, mask=jnp.ones_like(target))
+        else:
+            weights_per_category = [
+                head(output[:, :, c, :]) for c, head in enumerate(self.pre_softmaxes)
+            ]
+            loss = categorical_crossentropy(
+                value=weights_per_category, target=target,
+                mask=jnp.ones_like(target))
         return {
             "loss": loss,
             "weights_per_category": weights_per_category,
@@ -279,8 +319,36 @@ class Decoder(nn.Module):
 
     def _head_logits_at(self, x: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
         """Per-channel output head at flat position t, padded to the max vocab
-        (invalid slots at -inf). x: (B, d_model) -> (B, vocab_max)."""
-        vmax = max(self.data_processor.num_tokens_per_channel)
+        (invalid slots at -inf). x: (B, d_model) -> (B, vocab_max).
+
+        Fused path (default): ONE (d_model, C*vmax) matmul against a
+        vmax-padded stacked kernel — pad columns carry a zero kernel and a
+        -inf bias, so they produce exactly the -inf logits of the per-channel
+        path — then a dynamic_slice picks channel t%C's block. Replaces C
+        skinny (vocab_c ~ 62 -> 128-lane padded) matmuls + concat + stack
+        per decode step; the padded kernel depends only on params, so XLA
+        hoists its construction out of the sampling scan."""
+        vocabs = self.data_processor.num_tokens_per_channel
+        vmax = max(vocabs)
+        num_c = self.num_channels_decoder
+        if use_fused_output_head():
+            cols = []
+            bcols = []
+            for c, head in enumerate(self.pre_softmaxes):
+                k = head.variables["params"]["kernel"]     # (d_model, v_c)
+                bvec = head.variables["params"]["bias"]
+                pad = vmax - vocabs[c]
+                if pad:
+                    k = jnp.pad(k, ((0, 0), (0, pad)))
+                    bvec = jnp.concatenate(
+                        [bvec, jnp.full((pad,), -jnp.inf, bvec.dtype)])
+                cols.append(k)
+                bcols.append(bvec)
+            w = jnp.concatenate(cols, axis=1)              # (d, C*vmax)
+            bias = jnp.concatenate(bcols)                  # (C*vmax,)
+            stacked = x @ w + bias                         # (B, C*vmax)
+            return jax.lax.dynamic_slice_in_dim(
+                stacked, (t % num_c) * vmax, vmax, axis=1)
         logits_all = []
         for c, head in enumerate(self.pre_softmaxes):
             lg = head(x)
@@ -290,7 +358,7 @@ class Decoder(nn.Module):
                     [lg, jnp.full(lg.shape[:-1] + (pad,), -jnp.inf,
                                   dtype=lg.dtype)], axis=-1)
             logits_all.append(lg)
-        return jnp.stack(logits_all, axis=0)[t % self.num_channels_decoder]
+        return jnp.stack(logits_all, axis=0)[t % num_c]
 
     def prefill(self, source: jnp.ndarray, target: jnp.ndarray):
         """One full forward filling all caches.

@@ -10,6 +10,7 @@ from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def nce_loss(positive: jnp.ndarray, negatives: jnp.ndarray) -> jnp.ndarray:
@@ -85,6 +86,56 @@ def categorical_crossentropy(value: Sequence[jnp.ndarray],
         # event-level masks both codebases build), well-defined when not
         total = total + (nll * m).sum() / jnp.maximum(m.sum(), 1.0)
     return total
+
+
+def stacked_categorical_crossentropy(stacked_logits: jnp.ndarray,
+                                     target: jnp.ndarray,
+                                     vocab_sizes: Sequence[int],
+                                     mask: Optional[jnp.ndarray] = None
+                                     ) -> jnp.ndarray:
+    """`categorical_crossentropy` over channel-stacked logits.
+
+    Same value as the per-channel list form (reference: VQCPCB/utils.py:24-49)
+    but computed from ONE (B, E, C, sum_c vocab_c) tensor — the layout the
+    decoder's fused output head produces with a single MXU-wide matmul
+    instead of C skinny (vocab_c ~ 62 -> 128-lane padded) ones. Channel c's
+    valid logits live at columns [offset_c, offset_c + vocab_c); the rest of
+    the row is statically masked to -inf, so the log_softmax over the stacked
+    axis equals the per-channel log_softmax exactly (masked slots contribute
+    exp(-inf) = 0 to the normalizer).
+
+    Args:
+      stacked_logits: (batch, num_events, num_channels, V) with
+        V = sum(vocab_sizes); channel slot c holds head_c's logits in its
+        own column range.
+      target: (batch, num_events, num_channels) int
+      vocab_sizes: static per-channel vocab sizes (len == num_channels)
+      mask: (batch, num_events, num_channels) {0,1}; default all ones
+    """
+    if mask is None:
+        mask = jnp.ones_like(target)
+    mask = mask.astype(jnp.float32)
+    num_channels = len(vocab_sizes)
+    offsets = np.concatenate([[0], np.cumsum(vocab_sizes)[:-1]])
+    total_vocab = int(np.sum(vocab_sizes))
+    cols = np.arange(total_vocab)
+    valid = np.stack([(cols >= offsets[c]) & (cols < offsets[c] + vocab_sizes[c])
+                      for c in range(num_channels)])          # (C, V) static
+    valid = jnp.asarray(valid)[None, None]                    # (1, 1, C, V)
+    logits = stacked_logits.astype(jnp.float32)
+    logits = jnp.where(valid, logits, -jnp.inf)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    # masked slots are -inf; zero them BEFORE the one-hot product (0 * -inf
+    # would be NaN), they are never selected anyway
+    logp = jnp.where(valid, logp, 0.0)
+    # one-hot contraction rather than take_along_axis (TPU scatter in bwd)
+    one_hot = jax.nn.one_hot(target + jnp.asarray(offsets)[None, None, :],
+                             total_vocab, dtype=jnp.float32)
+    nll = -(logp * one_hot).sum(axis=-1)                      # (B, E, C)
+    # per-channel normalisation, as in categorical_crossentropy
+    per_channel = (nll * mask).sum(axis=(0, 1))               # (C,)
+    counts = jnp.maximum(mask.sum(axis=(0, 1)), 1.0)
+    return (per_channel / counts).sum()
 
 
 def distilled_categorical_crossentropy(value: Sequence[jnp.ndarray],
