@@ -116,6 +116,47 @@ def test_top_p_filtering_keeps_first_above_threshold():
     assert np.isfinite(out2).all()
 
 
+def test_top_p_exact_ties_matches_reference_oracle():
+    """PARITY.md deviation #0 closure: exact_ties=True must reproduce the
+    reference's positional removal (VQCPCB/utils.py:101-128, executed as the
+    oracle) bit-for-bit, INCLUDING exact float ties at the nucleus boundary
+    — the one case the default value-threshold rule intentionally differs on."""
+    torch = pytest.importorskip("torch")
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "ref_utils", "/root/reference/VQCPCB/utils.py")
+    ref_utils = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref_utils)
+
+    rng = np.random.RandomState(7)
+    cases = [rng.randn(12).astype(np.float32) for _ in range(8)]
+    # boundary-tie constructions: duplicated logits straddling the nucleus cut
+    tied = np.asarray([2.0, 1.0, 1.0, 1.0, 0.0, -1.0], dtype=np.float32)
+    cases += [tied, tied[::-1].copy(),
+              np.zeros(6, dtype=np.float32),
+              np.asarray([3.0, 3.0, 3.0, -5.0], dtype=np.float32)]
+    for top_p in (0.3, 0.5, 0.8, 0.95):
+        for top_k in (0, 3):
+            for logits in cases:
+                ref = ref_utils.top_k_top_p_filtering(
+                    torch.tensor(logits.copy()), top_k=top_k,
+                    top_p=top_p).numpy()
+                ours = np.asarray(top_k_top_p_filtering(
+                    jnp.asarray(logits)[None], top_k=top_k, top_p=top_p,
+                    exact_ties=True))[0]
+                np.testing.assert_array_equal(
+                    ref, ours,
+                    err_msg=f"top_p={top_p} top_k={top_k} logits={logits}")
+
+
+def test_top_p_default_and_exact_agree_without_ties():
+    rng = np.random.RandomState(11)
+    logits = jnp.asarray(rng.randn(16, 20).astype(np.float32))
+    a = np.asarray(top_k_top_p_filtering(logits, top_p=0.7, exact_ties=False))
+    b = np.asarray(top_k_top_p_filtering(logits, top_p=0.7, exact_ties=True))
+    np.testing.assert_array_equal(a, b)
+
+
 def test_sample_categorical_respects_filter():
     rng = jax.random.PRNGKey(0)
     logits = jnp.asarray(np.tile([[5.0, 4.0, -1.0, -2.0]], (64, 1)))
