@@ -59,6 +59,56 @@ def _adapt_legacy_layout(path: str, target: Any) -> Any:
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
+def _adopt_weights_only(path: str, target: Any) -> Any:
+    """Weights-only checkpoints — {'params': ..., optional 'batch_stats'} —
+    as written by scripts/migrate_reference_checkpoint.py (the reference
+    itself persists only module weights, encoder.py:47-74) restore into a
+    full TrainState: params (and matching batch_stats) are adopted, the
+    optimizer moments keep the target's fresh values."""
+    raw = ocp.PyTreeCheckpointer().restore(path)
+    if not (isinstance(raw, dict) and "params" in raw
+            and set(raw) <= {"params", "batch_stats", "step"}):
+        raise ValueError("not a weights-only checkpoint")
+    if not hasattr(target, "params"):
+        raise ValueError("target is not a TrainState-like pytree")
+    raw_params = raw["params"]
+    # a trainer params tree may nest the module under its group name
+    # (e.g. {'encoder': ..., 'c_module': ...}) while the migrated tree
+    # holds only the module — adopt subtree-wise where structures match
+    consumed = [0]
+
+    def merge(tgt, src):
+        if isinstance(tgt, dict):
+            out = {}
+            for k, v in tgt.items():
+                if isinstance(src, dict) and k in src:
+                    out[k] = merge(v, src[k])
+                else:
+                    out[k] = v
+            return out
+        src_arr = np.asarray(src)
+        if src_arr.shape != tuple(np.shape(tgt)):
+            raise ValueError(
+                f"weights-only leaf shape {src_arr.shape} != target "
+                f"{np.shape(tgt)}")
+        consumed[0] += 1
+        return src_arr
+    new_params = merge(jax.device_get(target.params), raw_params)
+    # every migrated leaf must have landed on a target leaf — a silently
+    # dropped subtree would mean loading half a checkpoint
+    n_src = len(jax.tree_util.tree_leaves(raw_params))
+    if consumed[0] != n_src:
+        raise ValueError(
+            f"weights-only checkpoint: {n_src - consumed[0]} of {n_src} "
+            "leaves have no matching target param")
+    new_bs = target.batch_stats
+    raw_bs = raw.get("batch_stats")
+    if raw_bs:
+        new_bs = merge(jax.device_get(target.batch_stats), raw_bs)
+    return target.replace(params=new_params, batch_stats=new_bs,
+                          step=raw.get("step", target.step))
+
+
 def slot_dir(model_dir: str, early_stopped: bool) -> str:
     return os.path.join(os.path.abspath(model_dir),
                         "early_stopped" if early_stopped else "overfitted")
@@ -69,6 +119,18 @@ def save_state(model_dir: str, early_stopped: bool, state: Any) -> None:
     ckptr = ocp.PyTreeCheckpointer()
     state = jax.device_get(state)
     ckptr.save(path, state, force=True)
+
+
+def save_weights_only(model_dir: str, early_stopped: bool, params: Any,
+                      batch_stats: Optional[Any] = None) -> None:
+    """Write a reference-style weights-only checkpoint ({'params': ...,
+    optional 'batch_stats'}); consumed by every loader via the
+    _adopt_weights_only fallback and by main_decoder's frozen-encoder path."""
+    tree: dict = {"params": params}
+    if batch_stats:
+        tree["batch_stats"] = batch_stats
+    ocp.PyTreeCheckpointer().save(slot_dir(model_dir, early_stopped), tree,
+                                  force=True)
 
 
 def load_state(model_dir: str, early_stopped: bool,
@@ -87,6 +149,10 @@ def load_state(model_dir: str, early_stopped: bool,
         except Exception as exc:
             # Only a shape/structure mismatch is a migration case; anything
             # else (missing/corrupt checkpoint) must surface as itself.
+            try:
+                return _adopt_weights_only(path, target)
+            except Exception:
+                pass
             try:
                 return _adapt_legacy_layout(path, target)
             except Exception:

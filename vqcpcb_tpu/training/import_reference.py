@@ -121,6 +121,14 @@ def import_encoder_state_dicts(data_processor_sd: Dict,
         tables.append(_t(quantizer_sd[f"embeddings.{k}"]))
         k += 1
     params["quantizer"] = {"codebooks": np.stack(tables, axis=0)}
+    # use_batch_norm=True checkpoints carry the BN affine in the quantizer
+    # state_dict (reference vector_quantizer.py:54-55 BatchNorm1d); running
+    # stats go to the batch_stats collection (import_encoder_batch_stats)
+    if "batch_norm.weight" in quantizer_sd:
+        params["quantizer"]["batch_norm"] = {
+            "scale": _t(quantizer_sd["batch_norm.weight"]),
+            "bias": _t(quantizer_sd["batch_norm.bias"]),
+        }
 
     # MLP upscaler (reference mlp_upscaler.py: Sequential Linear/Dropout/SELU/Linear)
     if upscaler_sd is not None:
@@ -129,6 +137,19 @@ def import_encoder_state_dicts(data_processor_sd: Dict,
             "fc2": import_dense(upscaler_sd, "mlp.3."),
         }
     return params
+
+
+def import_encoder_batch_stats(quantizer_sd: Dict) -> Dict:
+    """Mutable-collection side of a reference encoder checkpoint: the
+    quantizer's BatchNorm running stats (vector_quantizer.py:54-55), keyed
+    the way the trainers store them (state.batch_stats['batch_stats'],
+    encoder subtree). Empty when use_batch_norm was off."""
+    if "batch_norm.running_mean" not in quantizer_sd:
+        return {}
+    return {"batch_stats": {"encoder": {"quantizer": {"batch_norm": {
+        "mean": _t(quantizer_sd["batch_norm.running_mean"]),
+        "var": _t(quantizer_sd["batch_norm.running_var"]),
+    }}}}}
 
 
 def _import_relative_mha(sd: Dict, prefix: str, num_heads: int) -> Dict:
