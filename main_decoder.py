@@ -45,9 +45,13 @@ def load_encoder_stack(config, device_init_batch, cache_root=None):
     variables = encoder.init(
         {"params": rng, "dropout": rng, "corrupt": rng, "corrupt_mask": rng},
         jnp.asarray(device_init_batch), training=False)
+    # carry EVERY non-param collection: 'batch_stats' (BN quantizer) AND
+    # 'ema' (EMA quantizer codebooks live there, not in params — dropping it
+    # breaks decoding over an EMA-trained encoder)
     encoder_variables = {"params": variables["params"]}
-    if "batch_stats" in variables:
-        encoder_variables["batch_stats"] = variables["batch_stats"]
+    for coll, tree in variables.items():
+        if coll != "params":
+            encoder_variables[coll] = tree
 
     if load_weights:
         slot = checkpoints.latest_slot(model_dir_encoder)
@@ -81,8 +85,11 @@ def load_encoder_stack(config, device_init_batch, cache_root=None):
 @click.option("-n", "--num_workers", type=int, default=0)
 @click.option("--num_examples", type=int, default=0)
 @click.option("--num_epochs", type=int, default=None)
+@click.option("--num_batches", type=int, default=None,
+              help="override config num_batches (-1 = None: full corpus)")
 def main(train, load, overfitted, config_path, reharmonization,
-         code_juxtaposition, num_workers, num_examples, num_epochs):
+         code_juxtaposition, num_workers, num_examples, num_epochs,
+         num_batches):
     from vqcpcb_tpu import getters
     from vqcpcb_tpu.training.decoder_trainer import DecoderTrainer
     from vqcpcb_tpu.utils import load_config_module
@@ -105,6 +112,8 @@ def main(train, load, overfitted, config_path, reharmonization,
         model_dir = f"models/{config['savename']}_{timestamp}"
     if num_epochs is not None:
         config["num_epochs"] = num_epochs
+    if num_batches is not None:
+        config["num_batches"] = None if num_batches < 0 else num_batches
 
     # ---- decoder-side dataloader + data processor ---------------------------
     dataloader_generator = getters.get_dataloader_generator(
