@@ -11,6 +11,13 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
+def _leaves_by_path(tree):
+    import jax
+    import numpy as np
+    return {jax.tree_util.keystr(p): np.asarray(v) for p, v in
+            jax.tree_util.tree_flatten_with_path(tree)[0]}
+
+
 @pytest.fixture
 def workdir(tmp_path, monkeypatch):
     # run CLIs inside an isolated cwd with local configs/ copies
@@ -105,6 +112,35 @@ def test_ema_encoder_feeds_decoder(workdir):
         ["-t", "-c", "configs/decoder_ema.py", "--num_epochs", "1"],
         catch_exceptions=False)
     assert result.exit_code == 0, result.output
+
+    # The TRAINED 'ema' collection (codebooks live there, not in params)
+    # must reach the decoder's frozen encoder — a fresh-init 'ema' tree
+    # means the decoder silently quantizes with random codebooks
+    # (regression: load_encoder_stack used to forward only 'batch_stats').
+    import numpy as np
+    from main_decoder import load_encoder_stack
+    from vqcpcb_tpu import getters
+    from vqcpcb_tpu.training import checkpoints
+    from vqcpcb_tpu.utils import load_config_module
+
+    dec_config = load_config_module(str(workdir / "configs" / "decoder_ema.py"))
+    dlg = getters.get_dataloader_generator(
+        dataset=dec_config["dataset"],
+        training_method=dec_config["training_method"],
+        dataloader_generator_kwargs=dec_config["dataloader_generator_kwargs"],
+        config=dec_config)
+    gen_train, _, _ = dlg.dataloaders(batch_size=4, num_workers=0)
+    first = next(iter(gen_train))
+    _, enc_vars, _ = load_encoder_stack(dec_config, first["x"])
+    assert "ema" in enc_vars, sorted(enc_vars)
+    restored = checkpoints.load_state(str(enc_dir), early_stopped=True)
+    ckpt_ema = (restored["batch_stats"] if isinstance(restored, dict)
+                else restored.batch_stats)["ema"]["encoder"]
+    got = _leaves_by_path(enc_vars["ema"])
+    want = _leaves_by_path(ckpt_ema)
+    assert got.keys() == want.keys()
+    for k in want:
+        np.testing.assert_array_equal(got[k], want[k], err_msg=k)
 
 
 def test_tracked_ema_scaleup_config_trains(workdir):
