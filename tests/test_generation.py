@@ -72,7 +72,10 @@ def test_generate_seed_excerpt_and_juxtaposition(tmp_path):
                               top_p=0.9, seed_set="val")
     assert len(scores) == 4  # originals + generations
     gen_dir = os.path.join(trainer.model_dir, "generations")
-    assert len(os.listdir(gen_dir)) == 4
+    # each score lands as a playable .mid plus the JSON symbol dump
+    names = os.listdir(gen_dir)
+    assert sum(n.endswith(".mid") for n in names) == 4
+    assert sum(n.endswith(".json") for n in names) == 4
     trainer.generate(temperature=1.0, batch_size=2, top_k=2, top_p=0.0,
                      seed_set="train", code_juxtaposition=True,
                      exclude_meta_symbols=True)

@@ -357,3 +357,56 @@ def test_encoder_cli_trains_on_real_files(tmp_path, monkeypatch, dataset):
     assert result.exit_code == 0, result.output
     model_dir = tmp_path / "models" / os.listdir(tmp_path / "models")[0]
     assert (model_dir / "metrics.jsonl").exists()
+
+
+def test_midi_of_name_pitch_grammar():
+    from vqcpcb_tpu.data.vocab import midi_of_name
+    # music21-style names as emitted by the Bach corpus adapters
+    assert midi_of_name("C4") == 60
+    assert midi_of_name("C#4") == 61
+    assert midi_of_name("E-4") == 63
+    assert midi_of_name("B--3") == 57
+    assert midi_of_name("F##5") == 79
+    assert midi_of_name("A0") == 21
+    # plain synthetic names
+    assert midi_of_name("p60") == 60
+    # specials / rests have no pitch
+    for sym in ("rest", "__", "START", "END", "XX", "OOR", "", "H4", "C"):
+        assert midi_of_name(sym) is None
+
+
+def test_generation_write_emits_playable_smf(tmp_path):
+    """Without music21, DataloaderGenerator.write must produce a real SMF
+    whose notes round-trip through our own parser (pitch + duration on the
+    tick grid), alongside the JSON symbol dump."""
+    from vqcpcb_tpu.data.corpora import SyntheticChoraleCorpus
+    from vqcpcb_tpu.data.dataloaders import BachDataloaderGenerator
+    from vqcpcb_tpu.data.vocab import midi_of_name
+
+    corpus = SyntheticChoraleCorpus(num_chorales=3, min_beats=12,
+                                    max_beats=16, seed=0)
+    gen = BachDataloaderGenerator(sequences_size=4, corpus=corpus,
+                                  cache_root=str(tmp_path))
+    train, _, _ = gen.dataloaders(batch_size=2, shuffle_train=False)
+    grid = next(train)["x"][0]  # (num_events, num_channels)
+
+    out = gen.write(grid, str(tmp_path / "gen0"))
+    assert out.endswith(".mid") and os.path.exists(out)
+    assert os.path.exists(tmp_path / "gen0.json")
+
+    events = gen.to_neutral(grid)
+    pitched = [[(name, off, dur) for name, off, dur in voice
+                if midi_of_name(name) is not None and dur > 0]
+               for voice in events]
+    parsed = parse_smf((tmp_path / "gen0.mid").read_bytes())
+    # one conductor track + one track per voice
+    note_tracks = [track_notes(t) for t in parsed["tracks"][1:]]
+    assert len(note_tracks) == len(pitched)
+    division = parsed["division"]
+    for voice, notes in zip(pitched, note_tracks):
+        assert len(notes) == len(voice)
+        for (name, off, dur), n in zip(sorted(voice, key=lambda e: e[1]),
+                                       sorted(notes, key=lambda m: m.onset_tick)):
+            assert n.pitch == midi_of_name(name)
+            assert n.onset_tick == pytest.approx(off * division)
+            assert n.off_tick - n.onset_tick == pytest.approx(dur * division)

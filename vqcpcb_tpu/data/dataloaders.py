@@ -78,8 +78,10 @@ class BachDataloaderGenerator(DataloaderGenerator):
             np.asarray(x).T, self.dataset.vocabulary, SUBDIVISION)
 
     def write(self, x: np.ndarray, path_no_extension: str) -> str:
-        """Write a token grid as MusicXML when music21 is available, else as a
-        JSON note list next to it."""
+        """Write a token grid as MusicXML when music21 is available; without
+        music21, write a playable Standard MIDI File via the stdlib SMF
+        writer (plus the JSON note list for exact symbol-level inspection —
+        SMF drops rest/START/END/PAD markers as silence)."""
         try:
             score = self.to_score(x)
             out = f"{path_no_extension}.xml"
@@ -88,9 +90,13 @@ class BachDataloaderGenerator(DataloaderGenerator):
         except ImportError:
             # to_neutral only on the fallback path (to_score runs it
             # internally on the success path)
-            out = f"{path_no_extension}.json"
-            with open(out, "w") as f:
-                json.dump(self.to_neutral(x), f)
+            from vqcpcb_tpu.data.midi import neutral_events_to_smf
+            events = self.to_neutral(x)
+            with open(f"{path_no_extension}.json", "w") as f:
+                json.dump(events, f)
+            out = f"{path_no_extension}.mid"
+            with open(out, "wb") as f:
+                f.write(neutral_events_to_smf(events))
             return out
 
     def to_score(self, x: np.ndarray):

@@ -378,6 +378,26 @@ def write_smf(tracks: Sequence[Sequence[Tuple[float, float, int]]],
     return b"".join(chunks)
 
 
+def neutral_events_to_smf(events_per_voice,
+                          division: int = 480) -> bytes:
+    """Per-voice (name, offset_beats, duration_beats) lists — the
+    `DataloaderGenerator.to_neutral` format — rendered to SMF bytes.
+    Names without a midi pitch (rests, START/END/PAD/OOR markers) become
+    silence; everything else (plain 'p<midi>' or music21-style names) maps
+    through `vocab.midi_of_name`."""
+    from vqcpcb_tpu.data.vocab import midi_of_name
+
+    tracks = []
+    for events in events_per_voice:
+        notes = []
+        for name, offset, duration in events:
+            pitch = midi_of_name(name)
+            if pitch is not None and 0 <= pitch <= 127 and duration > 0:
+                notes.append((offset, duration, pitch))
+        tracks.append(notes)
+    return write_smf(tracks, division=division)
+
+
 def neutral_to_smf(score: NeutralScore, division: int = 480) -> bytes:
     """Render a NeutralScore to SMF bytes: each note sounds until the next
     event in its part (the tick-grid semantics of part_to_ticks)."""

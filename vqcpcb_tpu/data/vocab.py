@@ -102,3 +102,27 @@ def midi_of_plain_name(name: str) -> Optional[int]:
     if name.startswith("p") and name[1:].isdigit():
         return int(name[1:])
     return None
+
+
+_PITCH_STEPS = {"C": 0, "D": 2, "E": 4, "F": 5, "G": 7, "A": 9, "B": 11}
+
+
+def midi_of_name(name: str) -> Optional[int]:
+    """midi pitch for any vocabulary note name: 'p<midi>' plain names AND
+    music21-style pitch names ('C4', 'C#4', 'E-4', 'B--3', 'F##5' — '#'
+    sharp, '-' flat, as emitted by the Bach corpus adapters). None for
+    special symbols / rests (so callers can render them as silence)."""
+    plain = midi_of_plain_name(name)
+    if plain is not None:
+        return plain
+    if not name or name[0] not in _PITCH_STEPS:
+        return None
+    i, alter = 1, 0
+    while i < len(name) and name[i] in "#-":
+        alter += 1 if name[i] == "#" else -1
+        i += 1
+    tail = name[i:]
+    if not tail or not (tail.isdigit()
+                        or (tail[0] == "-" and tail[1:].isdigit())):
+        return None
+    return (int(tail) + 1) * 12 + _PITCH_STEPS[name[0]] + alter
