@@ -49,4 +49,12 @@ if [ -n "$DEC_DIR" ] && [ -f "$DEC_DIR/config.py" ]; then
 else
   echo "MG skipped: no decoder dir" >> $LOG
 fi
+
+# S1024: extend the sampler scaling curve past batch 512 (VERDICT r4 #5
+# 'past 265K tokens/s or the HBM/quality limit documented')
+stage S1024 7200 env BENCH_SAMPLER_BATCH=1024 python scripts/bench_sampler.py
+
+# RL: XLA-cost-analysis roofline of the shipping (fused-heads) train step
+stage RL 7200 python scripts/roofline.py
+
 echo "CHAIN9 DONE $(date -u +%H:%M:%S)" >> $LOG
