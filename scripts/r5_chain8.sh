@@ -39,9 +39,11 @@ stage() {  # stage <name> <timeout_s> <cmd...>
 }
 
 # env prefixes on bash FUNCTION calls persist in the caller — use env(1)
+# BB FIRST: it reseeds the compile cache for the driver's round-end
+# bench.py run (the operationally critical artifact); measurements after.
+stage BB 10800 python bench.py
 stage D1 5400 python scripts/bench_decoder_train.py
 stage D0 5400 env VQCPCB_FUSED_HEADS=0 python scripts/bench_decoder_train.py
-stage DP 5400 env VQCPCB_PROFILE_DIR=/tmp/r5_decprof_fused python scripts/bench_decoder_train.py
 stage A2 7200 python scripts/bench_attention_kernels.py
-stage BB 10800 python bench.py
+stage DP 5400 env VQCPCB_PROFILE_DIR=/tmp/r5_decprof_fused python scripts/bench_decoder_train.py
 echo "CHAIN8 DONE $(date -u +%H:%M:%S)" >> $LOG
