@@ -18,7 +18,10 @@ data movement even at 100% MXU utilization).
 
 Assumptions, marked in the table:
   * bwd matmul FLOPs = 2x fwd (dL/dX and dL/dW), the standard accounting.
-  * bf16 MXU peak 197 TFLOP/s, HBM 819 GB/s (v5e).
+  * MXU ceiling 98 TFLOP/s — NOT the nominal 197 TFLOP/s bf16 peak but the
+    bf16-input single-pass mode this chip actually measured in the r3
+    matmul probe (BENCHMARKS.md "Speed-of-light accounting"); HBM
+    819 GB/s (v5e).
   * f32 leaves: params/grads/adam moments move in f32 (the shipping
     config keeps f32 state; only compute is bf16).
   * attention matrices (B,h,L,L) are materialized by the packed Pallas
@@ -31,7 +34,7 @@ Assumptions, marked in the table:
 import json
 
 # ---- v5e chip model ---------------------------------------------------------
-MXU_BF16 = 197e12        # FLOP/s
+MXU_BF16 = 98e12         # FLOP/s (measured bf16-mode ceiling, r3 probe)
 HBM_BW = 819e9           # B/s
 
 # ---- shipping geometry ------------------------------------------------------
