@@ -46,6 +46,17 @@ stage MD 10800 python main_decoder.py -t -c configs/decoder_scaleup_midi.py
 DEC_DIR=$(ls -dt models/decoder_scaleup_midi_* 2>/dev/null | head -1)
 if [ -n "$DEC_DIR" ] && [ -f "$DEC_DIR/config.py" ]; then
   stage MG 7200 python main_decoder.py -l -r --num_examples 1 -c "$DEC_DIR/config.py"
+  # PM/PG: prior over the MIDI encoder's code sequences + unconditional
+  # generation decoded through the trained decoder — third model family on
+  # real-SMF-derived tokens (CPU-smoked end-to-end before queuing)
+  export VQCPCB_MIDI_DECODER_CONFIG="$DEC_DIR/config.py"
+  stage PM 10800 python main_prior.py -t -c configs/prior_scaleup_midi.py
+  PRI_DIR=$(ls -dt models/prior_scaleup_midi_* 2>/dev/null | head -1)
+  if [ -n "$PRI_DIR" ] && [ -f "$PRI_DIR/config.py" ]; then
+    stage PG 7200 python main_prior.py -l -g -c "$PRI_DIR/config.py"
+  else
+    echo "PG skipped: no prior dir" >> $LOG
+  fi
 else
   echo "MG skipped: no decoder dir" >> $LOG
 fi
