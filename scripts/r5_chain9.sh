@@ -65,6 +65,10 @@ fi
 # 'past 265K tokens/s or the HBM/quality limit documented')
 stage S1024 7200 env BENCH_SAMPLER_BATCH=1024 python scripts/bench_sampler.py
 
+# DR: decoder-train bench under the hardware-RNG dropout knob (threefry ->
+# rbg; A/B against chain8 D1 which runs the same bench on the default)
+stage DR 5400 env VQCPCB_RNG_IMPL=rbg python scripts/bench_decoder_train.py
+
 # RL: XLA-cost-analysis roofline of the shipping (fused-heads) train step
 stage RL 7200 python scripts/roofline.py
 

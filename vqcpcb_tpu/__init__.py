@@ -59,3 +59,15 @@ if _cache != "0":
         _jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
     except Exception:  # backend without serialization support: run uncached
         pass
+
+# VQCPCB_RNG_IMPL=rbg|unsafe_rbg|threefry2x32 switches jax's default PRNG.
+# threefry (the default) computes dropout masks with a full crypto-ish hash
+# on the VPU; 'rbg' uses the hardware RNG instruction and is much cheaper
+# for the big per-step dropout masks in training (identical distributional
+# semantics, different stream — NOT bit-reproducible across impls, so it
+# stays opt-in; parity tests always run on the default).
+_rng_impl = _os.environ.get("VQCPCB_RNG_IMPL")
+if _rng_impl:
+    import jax as _jax
+
+    _jax.config.update("jax_default_prng_impl", _rng_impl)
