@@ -40,6 +40,9 @@ fi
 echo "using encoder $ENC_DIR" >> $LOG
 export VQCPCB_MIDI_ENCODER_CONFIG="$ENC_DIR/config.py"
 export VQCPCB_REMAT=1
+# decoder/prior runs are 1536 steps with schedule_lr — rescale the
+# reference's 10k-step warmup or the whole run sits at ~0.24x LR
+export VQCPCB_WARMUP_STEPS=300
 
 stage MD 10800 python main_decoder.py -t -c configs/decoder_scaleup_midi.py
 
