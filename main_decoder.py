@@ -154,10 +154,16 @@ def main(train, load, overfitted, config_path, reharmonization,
                        schedule_lr=config.get("schedule_lr", False))
     if load:
         from vqcpcb_tpu.training import checkpoints
-        if (checkpoints.latest_slot(model_dir) is not None
-                or checkpoints.read_step_sidecar(model_dir) is None):
+        sidecar = checkpoints.read_step_sidecar(model_dir)
+        if checkpoints.latest_slot(model_dir) is not None or sidecar is None:
             trainer.load(early_stopped=not overfitted)
-        # else: mid-first-epoch crash — train_model resumes from the step slot
+        elif not train:
+            # only a mid-epoch step slot exists and we are NOT training:
+            # serve generation from the freshest step state (silently using
+            # fresh-init weights here was a review-caught bug)
+            trainer._restore_step_checkpoint(sidecar)
+        # else: -t -l mid-first-epoch crash — train_model resumes from the
+        # step slot
 
     if train:
         if not load:

@@ -115,12 +115,16 @@ def main(train, load, config_path, num_workers, num_epochs, num_batches):
                            schedule_lr=config.get("schedule_lr", False),
                            initialize=False)
         from vqcpcb_tpu.training import checkpoints
-        if checkpoints.latest_slot(model_dir) is not None:
+        sidecar = checkpoints.read_step_sidecar(model_dir)
+        if checkpoints.latest_slot(model_dir) is not None or sidecar is None:
+            # load (or surface the missing-checkpoint error loudly)
             trainer.load(early_stopped=False)
-        elif checkpoints.read_step_sidecar(model_dir) is None:
-            trainer.load(early_stopped=False)  # surface the missing-ckpt error
-        # else: crash before the first epoch boundary — train_model resumes
-        # from the step checkpoint inside the interrupted epoch
+        elif not train:
+            # analysis/cluster-viz over a mid-epoch step slot: load it
+            # rather than silently running on fresh-init weights
+            trainer._restore_step_checkpoint(sidecar)
+        # else: -t -l crash before the first epoch boundary — train_model
+        # resumes from the step checkpoint inside the interrupted epoch
 
     if train:
         if not load:

@@ -75,10 +75,15 @@ def main(train, load, config_path, do_generate, num_workers, num_epochs):
     trainer.init_state(first["x"], lr=config["lr"])
     if load:
         from vqcpcb_tpu.training import checkpoints
-        if (checkpoints.latest_slot(model_dir) is not None
-                or checkpoints.read_step_sidecar(model_dir) is None):
+        sidecar = checkpoints.read_step_sidecar(model_dir)
+        if checkpoints.latest_slot(model_dir) is not None or sidecar is None:
             trainer.load(early_stopped=True)
-        # else: mid-first-epoch crash — train_model resumes from the step slot
+        elif not train:
+            # generation-only over a mid-epoch step slot: load it rather
+            # than silently sampling from fresh-init weights
+            trainer._restore_step_checkpoint(sidecar)
+        # else: -t -l mid-first-epoch crash — train_model resumes from the
+        # step slot
 
     if train:
         if not load:

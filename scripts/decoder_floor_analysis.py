@@ -121,7 +121,8 @@ def main():
 
     # ---- optimizer update (pure HBM: f32 params+grads+2 moments r/w) ---------
     P = params_count()
-    opt_bytes = P * 4 * (1 + 1 + 2 + 2 + 1 + 2)  # read p,g,m,v; write p,m,v
+    # 7 f32 passes: read p, read g, m read+write, v read+write, write p
+    opt_bytes = P * 4 * (1 + 1 + 2 + 2 + 1)
     comps.append(component("adam update (f32 state)", 0.0, opt_bytes))
 
     total_ms_serial = sum(max(c["ms_compute"], c["ms_memory"]) for c in comps)

@@ -144,3 +144,42 @@ def test_stale_sidecar_from_completed_epoch_is_discarded(tmp_path):
     rows = _metric_rows(str(tmp_path / "m"))
     assert [r["epoch"] for r in rows] == [0, 1]
     assert checkpoints.read_step_sidecar(str(tmp_path / "m")) is None
+
+
+def test_generation_only_load_uses_step_slot_not_fresh_init(tmp_path):
+    """A model dir holding ONLY a mid-epoch step slot (crash before the
+    first epoch boundary) must serve `-l`-without-`-t` invocations from the
+    step state — the CLIs previously skipped loading entirely and ran
+    analysis/generation on fresh-init weights with exit code 0
+    (main_{encoder,decoder,prior}.py review finding)."""
+    config = small_config()
+    kwargs = dict(batch_size=16, num_batches=5, num_epochs=2, lr=1e-3,
+                  checkpoint_every_steps=2)
+    b = _build(tmp_path, "g", config, crash_after=3)
+    with pytest.raises(RuntimeError, match="simulated mid-epoch crash"):
+        b.train_model(**kwargs)
+    model_dir = str(tmp_path / "g")
+    assert checkpoints.latest_slot(model_dir) is None
+    sidecar = checkpoints.read_step_sidecar(model_dir)
+    assert sidecar is not None
+
+    # "new process", generation-only: fresh trainer, init, restore step slot
+    # (exactly what the fixed CLI branch does)
+    g2 = _build(tmp_path, "g", config)
+    train, _, _ = g2.dataloader_generator.dataloaders(batch_size=16)
+    g2.init_state(next(iter(train)), lr=1e-3, initialize=False)
+    fresh = jax.device_get(g2.state.params)
+    # the durable step state (2 batches; batch 3's update died with the
+    # crashed process, so b.state is NOT the comparison target)
+    expected = jax.device_get(checkpoints.load_step_state(
+        str(tmp_path / "g"), target=jax.device_get(g2.state)).params)
+    g2._restore_step_checkpoint(sidecar)
+    restored = jax.device_get(g2.state.params)
+
+    # restored params match the durable step slot, and are NOT the fresh init
+    some_diff = []
+    def cmp(r, t, f):
+        np.testing.assert_allclose(r, t, rtol=1e-6, atol=1e-7)
+        some_diff.append(not np.allclose(r, f))
+    jax.tree.map(cmp, restored, expected, fresh)
+    assert any(some_diff)
