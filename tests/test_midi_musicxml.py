@@ -410,3 +410,99 @@ def test_generation_write_emits_playable_smf(tmp_path):
             assert n.pitch == midi_of_name(name)
             assert n.onset_tick == pytest.approx(off * division)
             assert n.off_tick - n.onset_tick == pytest.approx(dur * division)
+
+
+def test_undefined_status_bytes_fail_loudly():
+    """System-common/realtime bytes (0xF1-0xF6, 0xF8-0xFE) are undefined in
+    SMF track data and carry 0-2 data bytes we cannot infer — guessing
+    desyncs the parser into silently wrong notes. They must raise (and the
+    corpus skips the file)."""
+    for status in (0xF3, 0xF8):
+        trk = (b"\x00" + bytes([status, 0x05])     # bogus event
+               + b"\x00\x90\x3c\x50" + b"\x10\x80\x3c\x00"
+               + b"\x00\xff\x2f\x00")
+        with pytest.raises(MidiParseError, match="unsupported status"):
+            parse_smf(_header(0, 1) + _track(trk))
+
+
+def test_malformed_musicxml_values_are_parse_errors(tmp_path):
+    """Missing/garbage <duration> or <octave> must raise MusicXmlParseError
+    (so MusicXmlCorpus SKIPS the file) instead of TypeError/ValueError
+    crashing corpus construction."""
+    from vqcpcb_tpu.data.musicxml import (MusicXmlCorpus, MusicXmlParseError,
+                                          parse_musicxml)
+
+    backup_no_duration = b"""<score-partwise><part id="P1"><measure number="1">
+      <attributes><divisions>2</divisions></attributes>
+      <note><pitch><step>C</step><octave>4</octave></pitch><duration>2</duration></note>
+      <backup/></measure></part></score-partwise>"""
+    garbage_duration = b"""<score-partwise><part id="P1"><measure number="1">
+      <attributes><divisions>2</divisions></attributes>
+      <note><pitch><step>C</step><octave>4</octave></pitch><duration>x</duration></note>
+      </measure></part></score-partwise>"""
+    missing_octave = b"""<score-partwise><part id="P1"><measure number="1">
+      <attributes><divisions>2</divisions></attributes>
+      <note><pitch><step>C</step></pitch><duration>2</duration></note>
+      </measure></part></score-partwise>"""
+    for data in (backup_no_duration, garbage_duration, missing_octave):
+        with pytest.raises(MusicXmlParseError):
+            parse_musicxml(data)
+
+    # corpus-level: one malformed file is skipped, the good one still loads
+    root = tmp_path / "xmls"
+    root.mkdir()
+    (root / "bad.xml").write_bytes(garbage_duration)
+    good = b"""<score-partwise>%s</score-partwise>""" % b"".join(
+        b'<part id="P%d"><measure number="1">'
+        b"<attributes><divisions>1</divisions></attributes>"
+        b"<note><pitch><step>C</step><octave>%d</octave></pitch>"
+        b"<duration>1</duration></note>"
+        b"<note><rest/><duration>1</duration></note>"
+        b"</measure></part>" % (i, 2 + i) for i in range(1, 5))
+    (root / "good.xml").write_bytes(good)
+    scores = list(MusicXmlCorpus(str(root)))
+    assert len(scores) == 1
+
+
+def test_chord_unequal_durations_share_base_onset():
+    """A <chord/> member's onset is the BASE note's onset even when its own
+    duration differs (pos - own_dur put it at a phantom earlier onset,
+    defeating the shared-onset chord reduction)."""
+    from vqcpcb_tpu.data.musicxml import parse_musicxml
+
+    data = b"""<score-partwise><part id="P1"><measure number="1">
+      <attributes><divisions>2</divisions></attributes>
+      <note><pitch><step>C</step><octave>4</octave></pitch><duration>1</duration></note>
+      <note><pitch><step>E</step><octave>4</octave></pitch><duration>2</duration></note>
+      <note><chord/><pitch><step>G</step><octave>4</octave></pitch><duration>4</duration></note>
+      </measure></part></score-partwise>"""
+    [stream] = parse_musicxml(data)
+    onsets = [(o, m) for o, m, _ in stream]
+    # base E4 at 0.5 beats; chord G4 (duration 4 != 2) shares onset 0.5
+    assert (0.5, 64) in onsets and (0.5, 67) in onsets
+    assert not any(o < 0 for o, _ in onsets)
+
+
+def test_cache_key_is_content_addressed(tmp_path):
+    """Same-size same-mtime content edits MUST change the key (stale window
+    caches), and byte-identical rewrites must keep it (mtime-independent)."""
+    root = tmp_path / "midis"
+    root.mkdir()
+    path = root / "a.mid"
+    data = write_smf([[(0.0, 1.0, 60)]] * 4, division=8)
+    path.write_bytes(data)
+    corpus = MidiCorpus(str(root))
+    k1 = corpus.cache_key
+
+    # byte-identical rewrite with a DIFFERENT mtime
+    path.write_bytes(data)
+    os.utime(path, (1e9, 1e9))
+    assert MidiCorpus(str(root)).cache_key == k1
+
+    # same-size edit with the ORIGINAL mtime restored
+    st = os.stat(path)
+    mutated = bytearray(data)
+    mutated[-10] ^= 0x01
+    path.write_bytes(bytes(mutated))
+    os.utime(path, (st.st_atime, st.st_mtime))
+    assert MidiCorpus(str(root)).cache_key != k1

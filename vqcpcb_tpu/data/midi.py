@@ -23,14 +23,13 @@ end without egress).
 """
 from __future__ import annotations
 
-import hashlib
-import os
 import struct
 from dataclasses import dataclass
-from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
+from vqcpcb_tpu.data.filecorpus import FileCorpus
 from vqcpcb_tpu.data.tokenizer import NeutralEvent, NeutralScore
-from vqcpcb_tpu.data.vocab import REST_SYMBOL, Vocabulary, midi_of_plain_name
+from vqcpcb_tpu.data.vocab import REST_SYMBOL
 
 
 # ---------------------------------------------------------------------------
@@ -101,6 +100,12 @@ def _parse_track(data: bytes) -> List[Tuple[int, int, bytes]]:
         elif status in (0xF0, 0xF7):            # sysex: skip
             length, i = _read_vlq(data, i)
             i += length
+        elif status >= 0xF1:                    # undefined-in-SMF
+            # system-common/realtime bytes (0xF1-0xF6, 0xF8-0xFE) have
+            # 0/1/2 data bytes we cannot infer here; guessing desyncs the
+            # parser into silently wrong notes. Fail loudly — the corpus
+            # skips the file with a message.
+            raise MidiParseError(f"unsupported status byte 0x{status:02X}")
         else:
             kind = status & 0xF0
             if kind in (0xC0, 0xD0):            # program change / channel AT
@@ -256,79 +261,25 @@ def smf_to_neutral(data: bytes, num_voices: int = 4) -> Optional[NeutralScore]:
 # Corpus
 # ---------------------------------------------------------------------------
 
-class MidiCorpus:
-    """Directory of .mid/.midi files -> NeutralScores.
+class MidiCorpus(FileCorpus):
+    """Directory of .mid/.midi files -> NeutralScores (shared listing/cache/
+    vocabulary machinery in data/filecorpus.py)."""
 
-    Files that fail to parse or have fewer than `num_voices` note streams
-    are skipped with a message — the corpus-construction analogue of the
-    reference's per-score tolerance branches (chorale_dataset.py:172-174).
-    """
+    EXTENSIONS = (".mid", ".midi")
+    KEY_PREFIX = "midi"
+    PARSE_ERRORS = (MidiParseError,)
 
     def __init__(self,
                  midi_root: str,
                  num_voices: int = 4,
                  max_files: Optional[int] = None):
+        super().__init__(midi_root, num_voices=num_voices,
+                         max_files=max_files)
         self.midi_root = midi_root
-        self.num_voices = num_voices
-        self.max_files = max_files
 
-    def _files(self) -> List[str]:
-        out = []
-        for dirpath, _, filenames in sorted(os.walk(self.midi_root)):
-            for name in sorted(filenames):
-                if name.lower().endswith((".mid", ".midi")):
-                    out.append(os.path.join(dirpath, name))
-        if self.max_files is not None:
-            out = out[: self.max_files]
-        return out
-
-    @property
-    def cache_key(self) -> str:
-        h = hashlib.sha1()
-        for path in self._files():
-            st = os.stat(path)
-            h.update(f"{os.path.relpath(path, self.midi_root)}"
-                     f":{st.st_size}:{int(st.st_mtime)};".encode())
-        return f"midi_{h.hexdigest()[:12]}_v{self.num_voices}"
-
-    def __iter__(self) -> Iterator[NeutralScore]:
-        for path in self._files():
-            try:
-                with open(path, "rb") as f:
-                    score = smf_to_neutral(f.read(), self.num_voices)
-            except MidiParseError as exc:
-                print(f"skipping unparseable MIDI {path}: {exc}")
-                continue
-            if score is None:
-                print(f"skipping {path}: fewer than {self.num_voices} "
-                      "note streams")
-                continue
-            yield score
-
-    def build_vocabulary(self) -> Vocabulary:
-        """Per-voice vocabularies over the untransposed corpus, with every
-        in-range pitch name included so transposed windows tokenize (same
-        policy as the synthetic corpus; out-of-corpus-range pitches map to
-        OUT_OF_RANGE exactly as in the reference, helpers.py:12-33)."""
-        note_sets = [set() for _ in range(self.num_voices)]
-        ranges = [[128, -1] for _ in range(self.num_voices)]
-        empty = True
-        for score in self:
-            empty = False
-            for part_id, part in enumerate(score.parts):
-                for e in part:
-                    note_sets[part_id].add(e.name)
-                    if e.is_note:
-                        ranges[part_id][0] = min(ranges[part_id][0], e.midi)
-                        ranges[part_id][1] = max(ranges[part_id][1], e.midi)
-        if empty:
-            raise ValueError(
-                f"no usable {self.num_voices}-voice MIDI files under "
-                f"{self.midi_root}")
-        for (lo, hi), s in zip(ranges, note_sets):
-            for m in range(lo, hi + 1):
-                s.add(_plain_name(m))
-        return Vocabulary.from_note_sets(note_sets, midi_of_plain_name)
+    def _parse(self, path: str) -> Optional[NeutralScore]:
+        with open(path, "rb") as f:
+            return smf_to_neutral(f.read(), self.num_voices)
 
 
 # ---------------------------------------------------------------------------

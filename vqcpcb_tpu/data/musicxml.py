@@ -13,30 +13,39 @@ Offsets are in beats (quarter notes): position_in_divisions / divisions.
 """
 from __future__ import annotations
 
-import hashlib
-import os
 import xml.etree.ElementTree as ET
 import zipfile
-from typing import Dict, Iterator, List, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
+from vqcpcb_tpu.data.filecorpus import FileCorpus
 from vqcpcb_tpu.data.midi import _plain_name, _transpose_plain
 from vqcpcb_tpu.data.tokenizer import NeutralEvent, NeutralScore
-from vqcpcb_tpu.data.vocab import REST_SYMBOL, Vocabulary, midi_of_plain_name
-
-_STEP_SEMITONE = {"C": 0, "D": 2, "E": 4, "F": 5, "G": 7, "A": 9, "B": 11}
+from vqcpcb_tpu.data.vocab import _PITCH_STEPS, REST_SYMBOL
 
 
 class MusicXmlParseError(ValueError):
     pass
 
 
+def _num(el, tag: str, default: Optional[str] = None) -> float:
+    """Numeric child text, as MusicXmlParseError on missing/garbage values
+    (a malformed file must be SKIPPED by the corpus, not crash the run)."""
+    text = el.findtext(tag, default)
+    if text is None:
+        raise MusicXmlParseError(f"missing <{tag}>")
+    try:
+        return float(text)
+    except ValueError as exc:
+        raise MusicXmlParseError(f"bad <{tag}> value {text!r}") from exc
+
+
 def _pitch_to_midi(pitch_el) -> int:
     step = pitch_el.findtext("step")
-    if step not in _STEP_SEMITONE:
+    if step not in _PITCH_STEPS:
         raise MusicXmlParseError(f"bad step {step!r}")
-    alter = int(float(pitch_el.findtext("alter", "0")))
-    octave = int(pitch_el.findtext("octave"))
-    return 12 * (octave + 1) + _STEP_SEMITONE[step] + alter
+    alter = int(_num(pitch_el, "alter", "0"))
+    octave = int(_num(pitch_el, "octave"))
+    return 12 * (octave + 1) + _PITCH_STEPS[step] + alter
 
 
 def _is_tie_stop_only(note_el) -> bool:
@@ -66,28 +75,43 @@ def parse_musicxml(data: bytes) -> List[List[Tuple[float, Optional[int]]]]:
         for measure in part.findall("measure"):
             pos = measure_start      # beats
             max_pos = measure_start
+            base_onset = None        # onset of the last non-chord note
             for el in measure:
                 if el.tag == "attributes":
-                    d = el.findtext("divisions")
-                    if d is not None:
-                        divisions = int(float(d))
+                    if el.findtext("divisions") is not None:
+                        divisions = int(_num(el, "divisions"))
+                        if divisions <= 0:
+                            raise MusicXmlParseError(
+                                f"non-positive divisions {divisions}")
                 elif el.tag == "backup":
                     if divisions is None:
                         raise MusicXmlParseError("backup before divisions")
-                    pos -= int(float(el.findtext("duration"))) / divisions
+                    pos -= int(_num(el, "duration")) / divisions
+                    base_onset = None
                 elif el.tag == "forward":
                     if divisions is None:
                         raise MusicXmlParseError("forward before divisions")
-                    pos += int(float(el.findtext("duration"))) / divisions
+                    pos += int(_num(el, "duration")) / divisions
                     max_pos = max(max_pos, pos)
+                    base_onset = None
                 elif el.tag == "note":
                     if el.find("grace") is not None:
                         continue     # grace notes carry no duration
                     if divisions is None:
                         raise MusicXmlParseError("note before divisions")
-                    dur = int(float(el.findtext("duration", "0"))) / divisions
+                    dur = int(_num(el, "duration", "0")) / divisions
                     is_chord = el.find("chord") is not None
-                    onset = pos if not is_chord else pos - dur
+                    if is_chord:
+                        # chord members share the BASE note's onset (their
+                        # own duration may differ from the base's, so
+                        # pos - dur is wrong for unequal-duration chords)
+                        if base_onset is None:
+                            raise MusicXmlParseError(
+                                "chord note with no preceding note")
+                        onset = base_onset
+                    else:
+                        onset = pos
+                        base_onset = pos
                     voice = el.findtext("voice", "1")
                     stream = voices.setdefault(voice, [])
                     if el.find("rest") is not None:
@@ -166,73 +190,26 @@ def _read_mxl(path: str) -> bytes:
     raise MusicXmlParseError(f"no score entry in {path}")
 
 
-class MusicXmlCorpus:
-    """Directory of .xml/.musicxml/.mxl files -> NeutralScores; unusable
-    files are skipped with a message (tolerance-branch policy of
-    chorale_dataset.py:172-174)."""
+class MusicXmlCorpus(FileCorpus):
+    """Directory of .xml/.musicxml/.mxl files -> NeutralScores (shared
+    listing/cache/vocabulary machinery in data/filecorpus.py)."""
+
+    EXTENSIONS = (".xml", ".musicxml", ".mxl")
+    KEY_PREFIX = "musicxml"
+    PARSE_ERRORS = (MusicXmlParseError, zipfile.BadZipFile)
 
     def __init__(self,
                  xml_root: str,
                  num_voices: int = 4,
                  max_files: Optional[int] = None):
+        super().__init__(xml_root, num_voices=num_voices,
+                         max_files=max_files)
         self.xml_root = xml_root
-        self.num_voices = num_voices
-        self.max_files = max_files
 
-    def _files(self) -> List[str]:
-        out = []
-        for dirpath, _, filenames in sorted(os.walk(self.xml_root)):
-            for name in sorted(filenames):
-                if name.lower().endswith((".xml", ".musicxml", ".mxl")):
-                    out.append(os.path.join(dirpath, name))
-        if self.max_files is not None:
-            out = out[: self.max_files]
-        return out
-
-    @property
-    def cache_key(self) -> str:
-        h = hashlib.sha1()
-        for path in self._files():
-            st = os.stat(path)
-            h.update(f"{os.path.relpath(path, self.xml_root)}"
-                     f":{st.st_size}:{int(st.st_mtime)};".encode())
-        return f"musicxml_{h.hexdigest()[:12]}_v{self.num_voices}"
-
-    def __iter__(self) -> Iterator[NeutralScore]:
-        for path in self._files():
-            try:
-                if path.lower().endswith(".mxl"):
-                    data = _read_mxl(path)
-                else:
-                    with open(path, "rb") as f:
-                        data = f.read()
-                score = musicxml_to_neutral(data, self.num_voices)
-            except (MusicXmlParseError, zipfile.BadZipFile) as exc:
-                print(f"skipping unparseable MusicXML {path}: {exc}")
-                continue
-            if score is None:
-                print(f"skipping {path}: fewer than {self.num_voices} "
-                      "note streams")
-                continue
-            yield score
-
-    def build_vocabulary(self) -> Vocabulary:
-        note_sets = [set() for _ in range(self.num_voices)]
-        ranges = [[128, -1] for _ in range(self.num_voices)]
-        empty = True
-        for score in self:
-            empty = False
-            for part_id, part in enumerate(score.parts):
-                for e in part:
-                    note_sets[part_id].add(e.name)
-                    if e.is_note:
-                        ranges[part_id][0] = min(ranges[part_id][0], e.midi)
-                        ranges[part_id][1] = max(ranges[part_id][1], e.midi)
-        if empty:
-            raise ValueError(
-                f"no usable {self.num_voices}-voice MusicXML files under "
-                f"{self.xml_root}")
-        for (lo, hi), s in zip(ranges, note_sets):
-            for m in range(lo, hi + 1):
-                s.add(_plain_name(m))
-        return Vocabulary.from_note_sets(note_sets, midi_of_plain_name)
+    def _parse(self, path: str) -> Optional[NeutralScore]:
+        if path.lower().endswith(".mxl"):
+            data = _read_mxl(path)
+        else:
+            with open(path, "rb") as f:
+                data = f.read()
+        return musicxml_to_neutral(data, self.num_voices)

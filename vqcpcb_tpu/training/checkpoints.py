@@ -104,7 +104,16 @@ def _adopt_weights_only(path: str, target: Any) -> Any:
     new_bs = target.batch_stats
     raw_bs = raw.get("batch_stats")
     if raw_bs:
+        # same consumed-leaf accounting as params: silently keeping fresh
+        # BatchNorm/EMA stats while reporting success would mean quantizing
+        # with untrained running statistics
+        consumed[0] = 0
         new_bs = merge(jax.device_get(target.batch_stats), raw_bs)
+        n_bs = len(jax.tree_util.tree_leaves(raw_bs))
+        if consumed[0] != n_bs:
+            raise ValueError(
+                f"weights-only checkpoint: {n_bs - consumed[0]} of {n_bs} "
+                "batch_stats leaves have no matching target collection leaf")
     return target.replace(params=new_params, batch_stats=new_bs,
                           step=raw.get("step", target.step))
 
