@@ -88,8 +88,15 @@ def main():
         row = {}
 
         def packed_fwd(q, k, v, dropout=0.1):
-            return pa.fused_attention_train_relbias_packed(
-                dropout, interp, H, seed, q, k, v, mask, e1, e2)
+            # the mask above is strictly causal, so the narrow-table arm
+            # (VQCPCB_RELBIAS_NARROW=1) is legal whenever t == s — enter
+            # the caller-asserted scope exactly as MultiheadAttention does
+            import contextlib
+            scope = (pa.relbias_causal_scope() if t == s
+                     else contextlib.nullcontext())
+            with scope:
+                return pa.fused_attention_train_relbias_packed(
+                    dropout, interp, H, seed, q, k, v, mask, e1, e2)
 
         def loss(q, k, v, dropout=0.1):
             return jnp.sum(packed_fwd(q, k, v, dropout) ** 2)

@@ -298,3 +298,28 @@ def test_main_decoder_gqa_train_and_reharmonize(workdir):
         catch_exceptions=False)
     assert result.exit_code == 0, result.output
     assert (model_dir / "reharmonisations").exists()
+
+
+def test_prior_geometry_decoupled_from_encoder_cpc_window(workdir):
+    """The prior's relative-attention tables must be sized by the PRIOR
+    dataloader's sequence length, not the encoder's CPC window (regression:
+    a sequences_size differing from the CPC-derived code count crashed the
+    prior forward with an e1-shape assert — chain9 PM)."""
+    from main_encoder import main as encoder_main
+    from main_prior import main as prior_main
+    runner = CliRunner()
+    result = runner.invoke(
+        encoder_main,
+        ["-t", "-c", "configs/encoder_smoke.py", "--num_epochs", "1"],
+        catch_exceptions=False)
+    assert result.exit_code == 0, result.output
+
+    cfg = (workdir / "configs" / "prior_smoke.py").read_text()
+    assert "sequences_size=6" in cfg  # CPC-derived length is also 6
+    cfg = cfg.replace("sequences_size=6", "sequences_size=4")
+    (workdir / "configs" / "prior_mm.py").write_text(cfg)
+    result = runner.invoke(
+        prior_main,
+        ["-t", "-c", "configs/prior_mm.py", "--num_epochs", "1"],
+        catch_exceptions=False)
+    assert result.exit_code == 0, result.output

@@ -612,3 +612,125 @@ def test_mha_packed_cross_attention_route(monkeypatch):
     out_xla, _ = mha.apply(params, xq, xk, xk, attn_mask=mask, training=False)
     np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_xla),
                                rtol=2e-4, atol=2e-5)
+
+
+# ---- narrow causal relbias table (VQCPCB_RELBIAS_NARROW) --------------------
+
+@pytest.mark.parametrize("t,s,dropout", [(96, 96, 0.0), (96, 96, 0.2),
+                                         (256, 256, 0.0)])
+def test_relbias_narrow_causal_bitmatches_wide(t, s, dropout, monkeypatch):
+    """Under a strictly causal mask the narrow e1-only table is
+    mathematically exact: every circular-wrap lane lands where softmax
+    underflowed to exactly 0.0. Numerically the grads may differ at FP
+    reassociation level only (the narrower zero-padded contractions let
+    XLA pick a different reduction tree), so: loss bit-equal at matching
+    pad widths, grads at ~1e-6 absolute; e2 grad exactly zero."""
+    import vqcpcb_tpu.ops.pallas_attention as pa
+
+    q, k, v, _, e1, e2 = _inputs(t=t, s=s, s_src=s)
+    mask = causal_mask(t)
+
+    def run(narrow):
+        if narrow:
+            monkeypatch.setenv("VQCPCB_RELBIAS_NARROW", "1")
+            ctx = pa.relbias_causal_scope()
+        else:
+            monkeypatch.delenv("VQCPCB_RELBIAS_NARROW", raising=False)
+            import contextlib
+            ctx = contextlib.nullcontext()
+
+        def f(*a):
+            with ctx:
+                return _relbias_loss(a[0], a[1], a[2], mask, a[3], a[4],
+                                     dropout=dropout, seed_val=7)[1]
+        loss, grads = jax.value_and_grad(
+            f, argnums=(0, 1, 2, 3, 4))(q, k, v, e1, e2)
+        return loss, grads
+
+    loss_w, g_w = run(False)
+    loss_n, g_n = run(True)
+    np.testing.assert_allclose(np.asarray(loss_n), np.asarray(loss_w),
+                               rtol=1e-6, atol=0)
+    for gn, gw in zip(g_n, g_w):
+        np.testing.assert_allclose(np.asarray(gn), np.asarray(gw),
+                                   rtol=1e-5, atol=2e-6)
+    np.testing.assert_array_equal(np.asarray(g_n[4]), 0.0)  # e2 grad
+
+
+def test_relbias_narrow_packed_bitmatches_wide(monkeypatch):
+    """Same bit-parity through the PACKED (B, L, H*d) kernel pair."""
+    import vqcpcb_tpu.ops.pallas_attention as pa
+
+    t = s = 96
+    h, d, b = 4, 32, 2
+    rng = np.random.RandomState(3)
+    qp = jnp.asarray(rng.randn(b, t, h * d).astype(np.float32))
+    kp = jnp.asarray(rng.randn(b, s, h * d).astype(np.float32))
+    vp = jnp.asarray(rng.randn(b, s, h * d).astype(np.float32))
+    e1 = jnp.asarray(rng.randn(h, s, d).astype(np.float32))
+    e2 = jnp.asarray(rng.randn(h, s, d).astype(np.float32))
+    mask_f = jnp.maximum(causal_mask(t).astype(jnp.float32), pa.NEG_BIG)
+    seed = jnp.full((1,), 5, jnp.int32)
+    interp = jax.default_backend() != "tpu"
+
+    def f(narrow, *a):
+        if narrow:
+            monkeypatch.setenv("VQCPCB_RELBIAS_NARROW", "1")
+            ctx = pa.relbias_causal_scope()
+        else:
+            monkeypatch.delenv("VQCPCB_RELBIAS_NARROW", raising=False)
+            import contextlib
+            ctx = contextlib.nullcontext()
+        with ctx:
+            out = pa.fused_attention_train_relbias_packed(
+                0.2, interp, h, seed, a[0], a[1], a[2], mask_f, a[3], a[4])
+        return (out * jnp.cos(jnp.arange(out.size).reshape(out.shape))).sum()
+
+    args = (qp, kp, vp, e1, e2)
+    loss_w, g_w = jax.value_and_grad(
+        lambda *a: f(False, *a), argnums=(0, 1, 2, 3, 4))(*args)
+    loss_n, g_n = jax.value_and_grad(
+        lambda *a: f(True, *a), argnums=(0, 1, 2, 3, 4))(*args)
+    np.testing.assert_allclose(np.asarray(loss_n), np.asarray(loss_w),
+                               rtol=1e-6, atol=0)
+    for gn, gw in zip(g_n, g_w):
+        np.testing.assert_allclose(np.asarray(gn), np.asarray(gw),
+                                   rtol=1e-5, atol=2e-6)
+
+
+def test_decoder_layer_engages_narrow_causal_table(monkeypatch):
+    """TransformerDecoderLayer's self-attention (causal by construction,
+    models/decoder.py) must enter relbias_causal_scope, so with
+    VQCPCB_RELBIAS_NARROW=1 the kernels pack the narrow e1-only table;
+    the cross/encoder attentions must NOT."""
+    import vqcpcb_tpu.ops.pallas_attention as pa
+    from vqcpcb_tpu.ops.masks import causal_mask as cmask
+    from vqcpcb_tpu.ops.transformer import TransformerDecoderLayer
+
+    monkeypatch.setenv("VQCPCB_RELBIAS_NARROW", "1")
+    monkeypatch.setattr(pa, "use_pallas_attention_train", lambda: True)
+    monkeypatch.setattr(pa, "use_pallas_relbias", lambda: True)
+    monkeypatch.setattr(pa, "use_pallas_packed_qkv", lambda: False)
+    monkeypatch.setattr(pa, "_interpret_mode", lambda _: True)
+    packed_narrow = []
+    orig_pack = pa._relbias_pack_e
+
+    def spy(e1, e2, wp, narrow=False):
+        packed_narrow.append(narrow)
+        return orig_pack(e1, e2, wp, narrow)
+
+    monkeypatch.setattr(pa, "_relbias_pack_e", spy)
+
+    layer = TransformerDecoderLayer(
+        d_model=16, n_head=2,
+        attention_bias_type_self="relative_attention",
+        attention_bias_type_cross=None,
+        num_channels_encoder=1, num_events_encoder=16,
+        num_channels_decoder=4, num_events_decoder=4)
+    rng = np.random.RandomState(0)
+    tgt = jnp.asarray(rng.randn(2, 16, 16).astype(np.float32))
+    mem = jnp.asarray(rng.randn(2, 16, 16).astype(np.float32))
+    params = layer.init(jax.random.PRNGKey(0), tgt, mem)
+    layer.apply(params, tgt, mem, tgt_mask=cmask(16), training=True,
+                rngs={"dropout": jax.random.PRNGKey(1)})
+    assert packed_narrow and packed_narrow[0] is True, packed_narrow

@@ -347,9 +347,18 @@ def get_prior(dataloader_generator,
     if prior_type != "transformer_relative":
         raise NotImplementedError(prior_type)
     num_channels = 1
-    data_processor = encoder.data_processor
     downscale_factors = encoder.downscaler.downscale_factors
-    num_events = int((data_processor.num_events * data_processor.num_channels)
+    # The prior trains on code sequences produced by encoding the PRIOR
+    # dataloader's token sequences — size the relative-attention tables by
+    # THAT length, not by the encoder's CPC window (the reference derives
+    # it from the CPC data processor, getters.py:398-428, which only
+    # matches when the two geometries coincide; with sequences_size 24 over
+    # a 13-block CPC window the reference-style tables are 12 positions
+    # short and the forward asserts).
+    dataset = dataloader_generator.dataset
+    num_target_tokens = (dataset.sequences_size * dataset.subdivision
+                         * len(dataset.num_tokens_per_channel))
+    num_events = int(num_target_tokens
                      // (np.prod(downscale_factors) * num_channels))
     quantizer_kwargs = encoder_config["quantizer_kwargs"]
     code_vocab = (quantizer_kwargs["codebook_size"]

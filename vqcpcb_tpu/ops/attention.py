@@ -55,10 +55,24 @@ class MultiheadAttention(nn.Module):
     num_events_q: int = 1
     dropout: float = 0.0
     num_kv_heads: Optional[int] = None
+    # Set by decoder-style layers whose self-attention mask is ALWAYS
+    # strictly causal (transformer.py): lets the relbias kernels use the
+    # narrow e1-only table (pallas_attention.relbias_causal_scope,
+    # VQCPCB_RELBIAS_NARROW). Purely a static hint — no param change.
+    causal_self: bool = False
 
     @property
     def kv_heads(self) -> int:
         return self.num_kv_heads or self.num_heads
+
+    def _relbias_scope(self, t: int, s: int):
+        """relbias_causal_scope when this module's self-attention mask is
+        statically known strictly causal at ratio 1 (t == s)."""
+        if self.causal_self and t == s:
+            from vqcpcb_tpu.ops.pallas_attention import relbias_causal_scope
+            return relbias_causal_scope()
+        import contextlib
+        return contextlib.nullcontext()
 
     @property
     def grouped(self) -> bool:
@@ -205,14 +219,15 @@ class MultiheadAttention(nn.Module):
                             jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
                     else:
                         seed0 = jnp.zeros((1,), jnp.int32)
-                    if tp_mesh is not None:
-                        out = fused_attention_train_relbias_packed_tp(
-                            tp_mesh, float(self.dropout), False, h, seed0,
-                            q_p, k_p, v_p, mask_f, self.e1, self.e2)
-                    else:
-                        out = fused_attention_train_relbias_packed(
-                            float(self.dropout), False, h, seed0,
-                            q_p, k_p, v_p, mask_f, self.e1, self.e2)
+                    with self._relbias_scope(t, s):
+                        if tp_mesh is not None:
+                            out = fused_attention_train_relbias_packed_tp(
+                                tp_mesh, float(self.dropout), False, h, seed0,
+                                q_p, k_p, v_p, mask_f, self.e1, self.e2)
+                        else:
+                            out = fused_attention_train_relbias_packed(
+                                float(self.dropout), False, h, seed0,
+                                q_p, k_p, v_p, mask_f, self.e1, self.e2)
                     return self.out_proj(out.astype(query.dtype)), None
 
         q = self.project_q(query)
@@ -276,14 +291,15 @@ class MultiheadAttention(nn.Module):
                 # (B*H, T, S) bias/score-gradient tensor touches HBM
                 # (VQCPCB_PALLAS_RELBIAS, pallas_attention.py)
                 if self.e1 is not None and use_pallas_relbias():
-                    if tp_mesh is not None:
-                        out = fused_attention_train_relbias_tp(
-                            tp_mesh, float(self.dropout), False, seed0,
-                            q, k, v, mask_f, self.e1, self.e2)
-                    else:
-                        out = fused_attention_train_relbias(
-                            float(self.dropout), False, seed0,
-                            q, k, v, mask_f, self.e1, self.e2)
+                    with self._relbias_scope(t, s):
+                        if tp_mesh is not None:
+                            out = fused_attention_train_relbias_tp(
+                                tp_mesh, float(self.dropout), False, seed0,
+                                q, k, v, mask_f, self.e1, self.e2)
+                        else:
+                            out = fused_attention_train_relbias(
+                                float(self.dropout), False, seed0,
+                                q, k, v, mask_f, self.e1, self.e2)
                     out = out.transpose(0, 2, 1, 3).reshape(b, t, h * d)
                     return self.out_proj(out.astype(query.dtype)), None
                 if self.e1 is not None:

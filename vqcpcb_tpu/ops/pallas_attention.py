@@ -15,6 +15,7 @@ default and the autodiff path. Parity is tested in interpret mode
 """
 from __future__ import annotations
 
+import contextlib
 import os
 from typing import Optional
 
@@ -606,20 +607,61 @@ def _relbias_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, e_ref,
         de_ref[0] = de_ref[0] + de
 
 
-def _relbias_geometry(t, s):
+# ---- narrow causal table (opt-in, VQCPCB_RELBIAS_NARROW) --------------------
+# For a STRICTLY CAUSAL additive mask (mask[t, s] <= NEG_BIG for all
+# s > t//ratio) every unmasked bias read lands in the e1 half of the
+# combined table: column = s + (S-1) - t//ratio <= S-1. The table (and every
+# roll pass over it, fwd c + bwd c + bwd ds_pad) can then shrink from
+# 2S-1 to S lanes — halving the lane-roll traffic the chain8 A2 bench
+# attributes ~1.4 ms/layer to. Correctness under the causal contract is
+# mathematically EXACT: circular-wrap lanes land only where s > t//ratio,
+# where softmax(score + NEG_BIG) underflows to exactly 0.0 in f32, so w,
+# ds and every wrapped dc column are exact zeros (and the e2 gradient is
+# exactly zero even on the wide path). Numerically the grads can differ
+# from the wide path at FP-reassociation level only (narrower zero-padded
+# contractions -> different reduction trees); parity tested at ~1e-6 in
+# tests/test_pallas_attention.py. The caller asserts the contract via
+# relbias_causal_scope(); the backward infers narrowness from the packed
+# table's width in the residuals.
+
+_RELBIAS_CAUSAL_SCOPE = [False]
+
+
+@contextlib.contextmanager
+def relbias_causal_scope():
+    """Caller-asserted: every relbias kernel call in this scope receives a
+    strictly causal additive mask (enables the narrow table when
+    VQCPCB_RELBIAS_NARROW=1)."""
+    prev = _RELBIAS_CAUSAL_SCOPE[0]
+    _RELBIAS_CAUSAL_SCOPE[0] = True
+    try:
+        yield
+    finally:
+        _RELBIAS_CAUSAL_SCOPE[0] = prev
+
+
+def _relbias_narrow() -> bool:
+    return (_RELBIAS_CAUSAL_SCOPE[0]
+            and os.environ.get("VQCPCB_RELBIAS_NARROW", "0") == "1")
+
+
+def _relbias_geometry(t, s, narrow=False):
     """(padded table width, shift bits, ratio) for tgt len t, src len s."""
     assert t % s == 0, (t, s)
-    wp = max(128, ((2 * s - 1 + 127) // 128) * 128)
+    width = s if narrow else 2 * s - 1
+    wp = max(128, ((width + 127) // 128) * 128)
     nbits = (s - 1).bit_length()
     return wp, nbits, t // s
 
 
-def _relbias_pack_e(e1, e2, wp):
-    """(H, S, d) x2 -> zero-padded combined table (H, Wp, d)."""
+def _relbias_pack_e(e1, e2, wp, narrow=False):
+    """(H, S, d) x2 -> zero-padded combined table (H, Wp, d); the narrow
+    causal table packs e1 only (e2 is never validly addressed)."""
     h, s, d = e1.shape
-    e = jnp.concatenate([e1, e2[:, 1:, :]], axis=1)
+    e = e1 if narrow else jnp.concatenate([e1, e2[:, 1:, :]], axis=1)
+    pad = wp - e.shape[1]
     return jnp.concatenate(
-        [e, jnp.zeros((h, wp - (2 * s - 1), d), e.dtype)], axis=1)
+        [e, jnp.zeros((h, pad, d), e.dtype)], axis=1)
 
 
 def _relbias_specs(h, t, s, d, wp):
@@ -658,8 +700,9 @@ def _fused_relbias_fwd(dropout_rate, interpret, seed, q, k, v, mask, e1, e2):
     b, h, t, d = q.shape
     s = k.shape[2]
     assert e1.shape == (h, s, d), (e1.shape, (h, s, d))
-    wp, nbits, ratio = _relbias_geometry(t, s)
-    e = _relbias_pack_e(e1, e2, wp)
+    narrow = _relbias_narrow()
+    wp, nbits, ratio = _relbias_geometry(t, s, narrow)
+    e = _relbias_pack_e(e1, e2, wp, narrow)
     qf = q.reshape(b * h, t, d)
     kf = k.reshape(b * h, s, d)
     vf = v.reshape(b * h, s, d)
@@ -720,10 +763,15 @@ def _fused_relbias_bwd(dropout_rate, interpret, residuals, g):
     )(seed, qf, kf, vf, mask, e, gf)
     de1 = de[:, :s, :].astype(q.dtype)
     # e2's offset-0 row is never validly addressed (valid2 needs
-    # s - t//ratio >= 1), so its gradient is exactly zero
-    de2 = jnp.concatenate(
-        [jnp.zeros((h, 1, d), q.dtype), de[:, s:2 * s - 1, :].astype(q.dtype)],
-        axis=1)
+    # s - t//ratio >= 1), so its gradient is exactly zero; under the narrow
+    # causal table (wp < 2S-1) the whole e2 half is absent and its gradient
+    # is exactly zero (strictly causal mask -> ds is exactly 0 there)
+    if wp < 2 * s - 1:
+        de2 = jnp.zeros((h, s, d), q.dtype)
+    else:
+        de2 = jnp.concatenate(
+            [jnp.zeros((h, 1, d), q.dtype),
+             de[:, s:2 * s - 1, :].astype(q.dtype)], axis=1)
     dseed = np.zeros((), jax.dtypes.float0)
     return (dseed, dq.reshape(q.shape), dk.reshape(k.shape),
             dv.reshape(v.shape), dmask, de1, de2)
@@ -902,9 +950,10 @@ def _fused_relbias_packed_fwd(dropout_rate, interpret, num_heads, seed,
     d = e_dim // h
     s = k.shape[1]
     assert e1.shape == (h, s, d), (e1.shape, (h, s, d))
-    wp, nbits, ratio = _relbias_geometry(t, s)
+    narrow = _relbias_narrow()
+    wp, nbits, ratio = _relbias_geometry(t, s, narrow)
     hpb = _packed_heads_per_block(h, d)
-    epk = _relbias_pack_e(e1, e2, wp)
+    epk = _relbias_pack_e(e1, e2, wp, narrow)
     out = pl.pallas_call(
         functools.partial(_relbias_fwd_kernel_packed, hpb=hpb,
                           dropout_rate=dropout_rate,
@@ -964,9 +1013,13 @@ def _fused_relbias_packed_bwd(dropout_rate, interpret, num_heads, residuals,
         interpret=interpret,
     )(seed, q, k, v, mask, epk, g)
     de1 = de[:, :s, :].astype(q.dtype)
-    de2 = jnp.concatenate(
-        [jnp.zeros((h, 1, d), q.dtype), de[:, s:2 * s - 1, :].astype(q.dtype)],
-        axis=1)
+    # narrow causal table (wp < 2S-1): e2 absent, gradient exactly zero
+    if wp < 2 * s - 1:
+        de2 = jnp.zeros((h, s, d), q.dtype)
+    else:
+        de2 = jnp.concatenate(
+            [jnp.zeros((h, 1, d), q.dtype),
+             de[:, s:2 * s - 1, :].astype(q.dtype)], axis=1)
     dseed = np.zeros((), jax.dtypes.float0)
     return dseed, dq, dk, dv, dmask, de1, de2
 

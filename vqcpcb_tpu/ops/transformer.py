@@ -194,7 +194,10 @@ class TransformerDecoderLayer(nn.Module):
             num_channels_q=self.num_channels_decoder,
             num_events_q=self.num_events_decoder,
             dropout=self.dropout,
-            num_kv_heads=self.n_head_kv)
+            num_kv_heads=self.n_head_kv,
+            # decoder self-attention always receives causal_mask(T)
+            # (models/decoder.py) -> narrow relbias table eligible
+            causal_self=True)
         self.multihead_attn = MultiheadAttention(
             embed_dim=self.d_model, num_heads=self.n_head,
             attention_bias_type=self.attention_bias_type_cross,
@@ -277,7 +280,10 @@ class TransformerAlignedDecoderLayer(nn.Module):
             num_channels_q=self.num_channels_decoder,
             num_events_q=self.num_events_decoder,
             dropout=self.dropout,
-            num_kv_heads=self.n_head_kv)
+            num_kv_heads=self.n_head_kv,
+            # decoder self-attention always receives causal_mask(T)
+            # (models/decoder.py) -> narrow relbias table eligible
+            causal_self=True)
         self.cross_mlp_1 = nn.Dense(self.d_model * 2)
         self.cross_mlp_2 = nn.Dense(self.d_model * self.num_channels_decoder)
         self.ff = FeedForward(self.d_model, self.dim_feedforward, self.dropout,
