@@ -617,7 +617,12 @@ def test_mha_packed_cross_attention_route(monkeypatch):
 # ---- narrow causal relbias table (VQCPCB_RELBIAS_NARROW) --------------------
 
 @pytest.mark.parametrize("t,s,dropout", [(96, 96, 0.0), (96, 96, 0.2),
-                                         (256, 256, 0.0)])
+                                         (256, 256, 0.0),
+                                         # s multiple of 128: narrow wp ==
+                                         # src_len, the backward's no-pad
+                                         # branch (Mosaic rejected the
+                                         # (t, 0) pad on-chip, chain11)
+                                         (128, 128, 0.2)])
 def test_relbias_narrow_causal_bitmatches_wide(t, s, dropout, monkeypatch):
     """Under a strictly causal mask the narrow e1-only table is
     mathematically exact: every circular-wrap lane lands where softmax

@@ -548,9 +548,14 @@ def _relbias_bwd_head(q, k, v, mask, e, do, drop_step, *, dropout_rate,
         dw = jnp.where(keep, dw * inv, 0.0)
     ds = w * (dw - jnp.sum(dw * w, axis=-1, keepdims=True))
     # bias path: dC[t, j] = ds[t, j - shift(t)] (the forward shift's
-    # transpose is the mirrored right-shift of the zero-padded gradient)
-    ds_pad = jnp.concatenate(
-        [ds, jnp.zeros((t, wp - src_len), jnp.float32)], axis=-1)
+    # transpose is the mirrored right-shift of the zero-padded gradient).
+    # Mosaic rejects zero-sized vectors, so skip the pad when the narrow
+    # table width equals src_len exactly (s a multiple of 128 lanes).
+    if wp > src_len:
+        ds_pad = jnp.concatenate(
+            [ds, jnp.zeros((t, wp - src_len), jnp.float32)], axis=-1)
+    else:
+        ds_pad = ds
     dc = _row_shift(ds_pad, shifts, nbits, right=True)
     ds_d = ds.astype(dot_dtype)
     dc_d = dc.astype(dot_dtype)
