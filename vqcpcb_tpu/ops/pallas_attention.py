@@ -646,8 +646,17 @@ def relbias_causal_scope():
 
 
 def _relbias_narrow() -> bool:
+    """DEFAULT ON since r5 (chain12/13, 2026-08-20): kernel-level fwd+bwd
+    4.71 -> 3.79 ms/layer (1.24x) at decoder geometry with the forward
+    bit-identical on-chip, and the flagship decoder train step 23.5 ->
+    21.1 ms/step (582K tokens/s). Reachable only inside
+    relbias_causal_scope() — decoder-style strictly-causal self-attention
+    at ratio 1 — where the narrow table is mathematically exact; grads
+    differ from the wide path at FP-reassociation level only (~1e-6,
+    tests/test_pallas_attention.py). VQCPCB_RELBIAS_NARROW=0 restores the
+    wide 2S-1 table."""
     return (_RELBIAS_CAUSAL_SCOPE[0]
-            and os.environ.get("VQCPCB_RELBIAS_NARROW", "0") == "1")
+            and os.environ.get("VQCPCB_RELBIAS_NARROW", "1") == "1")
 
 
 def _relbias_geometry(t, s, narrow=False):
